@@ -1,0 +1,114 @@
+"""Multi-head attention.
+
+Computation matches the reference modules:
+  * LightningDiT Attention (/root/reference/LDMAE/models/lightningdit.py:32-91):
+    packed qkv projection, optional per-head QK-norm (LayerNorm or RMSNorm on
+    head_dim), optional rotary embedding on q and k, SDPA, output projection.
+  * VMAE Attention (/root/reference/VMAE/models_mae.py:117-147): same without
+    qk-norm/rope.
+
+Parameter layout:
+  {"qkv": {"w": (D, 3, D), "b": (3, D)},        # packed, head-aligned last dim
+   "proj": {"w": (D, D), "b": (D,)},
+   "q_norm": {"scale": (head_dim,)} | None,      # rmsnorm weight, or
+   "q_norm": {"scale": (hd,), "bias": (hd,)}     # layernorm affine
+  }
+
+``impl`` selects the inner softmax(QK^T)V computation:
+  * "xla":    einsum + softmax — XLA fuses this well at N=1024
+  * "cudnn"/"sdpa": jax.nn.dot_product_attention (uses the best lowering)
+  * "flash":  Pallas TPU flash-attention kernel (ldmae_tpu.ops.flash_attention)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .norms import layer_norm, rms_norm
+from .rope import apply_rope
+
+Params = Dict[str, Any]
+
+
+def _apply_head_norm(x: jnp.ndarray, p: Optional[Params], kind: str) -> jnp.ndarray:
+    """Per-head q/k norm over head_dim. kind: 'rms' | 'layer'."""
+    if p is None:
+        return x
+    if kind == "rms":
+        return rms_norm(x, p["scale"])
+    return layer_norm(x, p.get("scale"), p.get("bias"))
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(d)) v for (B, H, N, hd) operands."""
+    if impl == "flash":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    if impl in ("sdpa", "cudnn"):
+        # jax.nn.dot_product_attention expects (B, N, H, hd)
+        out = jax.nn.dot_product_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+        )
+        return out.transpose(0, 2, 1, 3)
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def multi_head_attention(
+    x: jnp.ndarray,
+    p: Params,
+    num_heads: int,
+    *,
+    rope: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    qk_norm_kind: str = "rms",
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Full attention module: qkv proj -> [qk-norm] -> [rope] -> sdpa -> proj.
+
+    x: (B, N, D). Returns (B, N, D) in x.dtype.
+    """
+    b, n, d = x.shape
+    hd = d // num_heads
+    dtype = x.dtype
+
+    w = p["qkv"]["w"].reshape(d, 3 * d).astype(dtype)
+    qkv = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    bias = p["qkv"].get("b")
+    if bias is not None:
+        qkv = qkv + bias.reshape(3 * d).astype(jnp.float32)
+    qkv = qkv.astype(dtype).reshape(b, n, 3, num_heads, hd)
+    q, k, v = (
+        qkv[:, :, 0].transpose(0, 2, 1, 3),
+        qkv[:, :, 1].transpose(0, 2, 1, 3),
+        qkv[:, :, 2].transpose(0, 2, 1, 3),
+    )  # (B, H, N, hd)
+
+    q = _apply_head_norm(q, p.get("q_norm"), qk_norm_kind)
+    k = _apply_head_norm(k, p.get("k_norm"), qk_norm_kind)
+
+    if rope is not None:
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    out = sdpa(q, k, v, impl=impl)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+
+    from .linear import dense
+
+    return dense(out, p["proj"], compute_dtype=dtype)

@@ -1,0 +1,70 @@
+"""Linear / MLP primitives over explicit parameter dicts.
+
+Parameter convention used throughout the framework:
+  linear params = {"w": (in, out), "b": (out,)}  (bias optional)
+PyTorch ``nn.Linear.weight`` is (out, in); the importer transposes.
+
+All matmuls go through ``dense`` which casts operands to the compute dtype
+and asks XLA for fp32 accumulation on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def dense(x: jnp.ndarray, p: Params, compute_dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
+    w = p["w"]
+    if compute_dtype is None:
+        compute_dtype = x.dtype
+    out = jnp.dot(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    b = p.get("b")
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(compute_dtype)
+
+
+def mlp_gelu(x: jnp.ndarray, p: Params, approximate: bool = False) -> jnp.ndarray:
+    """timm-style Mlp: fc1 -> GELU -> fc2.
+
+    VMAE blocks use exact GELU (timm default); DiT's non-SwiGLU path uses
+    tanh-approximate GELU (lightningdit.py:214).
+    """
+    h = dense(x, p["fc1"])
+    h = jax.nn.gelu(h, approximate=approximate)
+    return dense(h, p["fc2"])
+
+
+def swiglu_ffn(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """SwiGLU FFN matching swiglu_ffn.py:31-36.
+
+    The torch module packs w1/w2 into one ``w12`` Linear and chunks the
+    output: x1 = first hidden_features columns, x2 = the rest. We store the
+    two halves separately ({"w1","w2","w3"}) so tensor-parallel sharding over
+    the hidden dim stays aligned; the importer splits ``w12``.
+    """
+    x1 = dense(x, p["w1"])
+    x2 = dense(x, p["w2"])
+    hidden = jax.nn.silu(x1) * x2
+    return dense(hidden, p["w3"])
+
+
+def modulate(x: jnp.ndarray, shift: Optional[jnp.ndarray], scale: jnp.ndarray) -> jnp.ndarray:
+    """adaLN modulation (lightningdit.py:26-30).
+
+    x: (B, N, D); shift/scale: (B, D) broadcast over tokens. shift=None is
+    the ``wo_shift`` variant.
+    """
+    scale = scale[:, None, :].astype(x.dtype)
+    if shift is None:
+        return x * (1.0 + scale)
+    return x * (1.0 + scale) + shift[:, None, :].astype(x.dtype)

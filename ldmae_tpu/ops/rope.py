@@ -1,0 +1,74 @@
+"""EVA-02 style 2-D axial rotary position embedding.
+
+Re-derivation of ``VisionRotaryEmbeddingFast``
+(/root/reference/LDMAE/models/pos_embed.py:96-135) as precomputed cos/sin
+tables + a pure apply function. Convention, which must match exactly for
+PyTorch weight-import parity:
+
+  * ``dim`` given to the table builder is ``head_dim // 2`` (one spatial axis
+    gets half the head dim)
+  * per-axis frequencies: ``1 / theta**(arange(0, dim, 2) / dim)`` → dim//2
+    distinct frequencies, each repeated twice *interleaved* ("(n r)" with
+    r=2), giving ``dim`` angles per axis
+  * full table: angles for the row position over the first ``dim`` channels,
+    angles for the column position over the last ``dim`` channels →
+    (seq, seq, 2*dim) flattened to (seq*seq, head_dim)
+  * rotate_half pairs channels as (x0,x1),(x2,x3),... and maps each pair to
+    (-x1, x0) (interleaved-pair convention, NOT the Llama half-split)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def build_rope_table(
+    half_head_dim: int,
+    pt_seq_len: int,
+    ft_seq_len: int | None = None,
+    theta: float = 10000.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return (cos, sin) each of shape (ft_seq_len**2, 2*half_head_dim) fp32."""
+    dim = half_head_dim
+    freqs = 1.0 / (
+        theta ** (np.arange(0, dim, 2)[: dim // 2].astype(np.float64) / dim)
+    )
+    if ft_seq_len is None:
+        ft_seq_len = pt_seq_len
+    t = np.arange(ft_seq_len, dtype=np.float64) / ft_seq_len * pt_seq_len
+
+    angles = np.einsum("n,f->nf", t, freqs)  # (S, dim//2)
+    angles = np.repeat(angles, 2, axis=-1)  # interleaved repeat -> (S, dim)
+
+    # broadcast-concat: rows give the first `dim` channels, cols the last.
+    s = ft_seq_len
+    full = np.concatenate(
+        [
+            np.broadcast_to(angles[:, None, :], (s, s, dim)),
+            np.broadcast_to(angles[None, :, :], (s, s, dim)),
+        ],
+        axis=-1,
+    ).reshape(s * s, 2 * dim)
+    return np.cos(full).astype(np.float32), np.sin(full).astype(np.float32)
+
+
+def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved-pair rotation: (x0,x1,x2,x3,...) -> (-x1,x0,-x3,x2,...)."""
+    shape = x.shape
+    x = x.reshape(*shape[:-1], shape[-1] // 2, 2)
+    x1 = x[..., 0]
+    x2 = x[..., 1]
+    return jnp.stack([-x2, x1], axis=-1).reshape(shape)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Apply rotary embedding.
+
+    x: (..., N, head_dim); cos/sin: (N, head_dim). Computed in the dtype of
+    x with fp32 tables broadcast — matches the reference applying fp32
+    buffers to (possibly autocast) activations.
+    """
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    return x * cos + rotate_half(x) * sin
