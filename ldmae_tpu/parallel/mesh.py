@@ -1,0 +1,138 @@
+"""Device mesh and sharding rules.
+
+Replaces the reference's NCCL/DDP layer (SURVEY.md §2.9, §5.8) with a
+`jax.sharding.Mesh` over axes:
+
+  * ``dp``   — data parallel (batch axis); the reference's only strategy
+  * ``fsdp`` — optional parameter sharding (ZeRO-style) for the 1p0B/1p6B
+               variants; batch is sharded over (dp, fsdp) jointly
+  * ``tp``   — tensor parallel over attention heads / ffn hidden dim
+
+Gradient all-reduce, metric reductions, and the DDP broadcast of the
+reference all become XLA collectives inserted by pjit from these shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("dp", "fsdp", "tp")
+
+
+def create_mesh(
+    dp: int = -1,
+    fsdp: int = 1,
+    tp: int = 1,
+    devices: Optional[list] = None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp == -1:
+        assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp={fsdp * tp}"
+        dp = n // (fsdp * tp)
+    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
+    dev_array = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(dev_array, AXES)
+
+
+def batch_spec() -> P:
+    """Batch dim sharded over both data axes."""
+    return P(("dp", "fsdp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(("dp", "fsdp"), *([None] * 0)))
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a host batch with the leading dim sharded over (dp, fsdp)."""
+
+    def _put(x):
+        spec = P(("dp", "fsdp"), *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(_put, tree)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules for LightningDiT / VMAE parameter pytrees.
+#
+# Block params are stacked with a leading layer dim (for lax.scan), so specs
+# below include that leading None. Rules keyed by path suffix.
+# ---------------------------------------------------------------------------
+
+
+def dit_param_spec(path: tuple, leaf: Any, fsdp: bool, tp: bool) -> P:
+    """PartitionSpec for a LightningDiT parameter leaf.
+
+    path: tuple of str dict keys from the pytree root, e.g.
+    ("blocks", "attn", "qkv", "w")  with leaf shape (L, D, 3, D).
+    """
+    keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+    keys = [k for k in keys if k is not None]
+    name = "/".join(str(k) for k in keys)
+    ndim = leaf.ndim
+
+    def spec(*inner):
+        # blocks leaves carry a leading layer axis
+        if "blocks" in keys:
+            return P(None, *inner)
+        return P(*inner)
+
+    if tp:
+        # attention: qkv out-dim over tp (head aligned), proj in-dim over tp
+        if "qkv/w" in name:
+            return spec(None, None, "tp")
+        if "qkv/b" in name:
+            return spec(None, "tp")
+        if "proj/w" in name:
+            return spec("tp", None)
+        # swiglu: hidden dim over tp
+        if name.endswith("w1/w") or name.endswith("w2/w"):
+            return spec(None, "tp")
+        if name.endswith("w1/b") or name.endswith("w2/b"):
+            return spec("tp")
+        if name.endswith("w3/w"):
+            return spec("tp", None)
+        if "fc1/w" in name:
+            return spec(None, "tp")
+        if "fc1/b" in name:
+            return spec("tp")
+        if "fc2/w" in name:
+            return spec("tp", None)
+    if fsdp:
+        # shard the largest dim of everything else over fsdp
+        if ndim >= 2:
+            body_nd = ndim - (1 if "blocks" in keys else 0)
+            inner = [None] * body_nd
+            shape = leaf.shape[(1 if "blocks" in keys else 0):]
+            if shape:
+                largest = int(np.argmax(shape))
+                inner[largest] = "fsdp"
+                return spec(*inner)
+    return spec(*([None] * (ndim - (1 if "blocks" in keys else 0))))
+
+
+def shard_params(mesh: Mesh, params: Any, use_fsdp: bool = False, use_tp: bool = False) -> Any:
+    """Device-put a parameter pytree with dit_param_spec shardings."""
+
+    def _put(path, leaf):
+        spec = dit_param_spec(path, leaf, use_fsdp, use_tp)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(_put, params)
+
+
+def param_shardings(mesh: Mesh, params: Any, use_fsdp: bool = False, use_tp: bool = False) -> Any:
+    def _spec(path, leaf):
+        return NamedSharding(mesh, dit_param_spec(path, leaf, use_fsdp, use_tp))
+
+    return jax.tree_util.tree_map_with_path(_spec, params)

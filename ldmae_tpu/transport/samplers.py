@@ -1,0 +1,291 @@
+"""On-device ODE / SDE samplers.
+
+Replaces torchdiffeq + hand-written torch steppers
+(/root/reference/LDMAE/transport/integrators.py) with ``lax.scan`` over a
+precomputed (possibly timestep-shifted) grid: all N steps compile into one
+XLA program, latents stay in HBM, zero host round-trips.
+
+Semantics matched:
+  * grid = linspace(t0, t1, num_steps); with shift s>0 each node is warped
+    t' = s·t / (1 + (s−1)·t)  (integrators.py:96-101)
+  * fixed-step Euler over the grid performs num_steps−1 model evaluations and
+    returns the value at the last node (the reference keeps the trajectory
+    and takes samples[-1]; we return the final state and optionally the
+    trajectory)
+  * SDE Euler–Maruyama / Heun loops over t[:-1] then applies a last-step rule
+    (Mean / Tweedie / Euler / None) at t1 (transport.py:304-396)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DriftFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (x, t_scalar)->dx
+
+
+def make_time_grid(
+    t0: float, t1: float, num_steps: int, timestep_shift: float = 0.0
+) -> np.ndarray:
+    t = np.linspace(t0, t1, num_steps, dtype=np.float64)
+    if timestep_shift > 0:
+        s = timestep_shift
+        t = s * t / (1 + (s - 1) * t)
+    return t.astype(np.float32)
+
+
+def ode_sample(
+    drift: DriftFn,
+    x: jnp.ndarray,
+    t_grid: jnp.ndarray,
+    method: str = "euler",
+    return_trajectory: bool = False,
+) -> jnp.ndarray:
+    """Integrate dx/dt = drift(x, t) over t_grid with a fixed-step scheme."""
+    ts = t_grid[:-1]
+    dts = t_grid[1:] - t_grid[:-1]
+
+    if method == "euler":
+        def step(carry, tdt):
+            t, dt = tdt
+            nxt = carry + dt * drift(carry, t)
+            return nxt, (nxt if return_trajectory else None)
+    elif method == "heun":
+        def step(carry, tdt):
+            t, dt = tdt
+            k1 = drift(carry, t)
+            k2 = drift(carry + dt * k1, t + dt)
+            nxt = carry + dt * 0.5 * (k1 + k2)
+            return nxt, (nxt if return_trajectory else None)
+    elif method == "rk4":
+        def step(carry, tdt):
+            t, dt = tdt
+            k1 = drift(carry, t)
+            k2 = drift(carry + 0.5 * dt * k1, t + 0.5 * dt)
+            k3 = drift(carry + 0.5 * dt * k2, t + 0.5 * dt)
+            k4 = drift(carry + dt * k3, t + dt)
+            nxt = carry + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+            return nxt, (nxt if return_trajectory else None)
+    else:
+        raise NotImplementedError(
+            f"ODE method {method!r} not implemented (euler/heun/rk4; the "
+            "reference's production config uses fixed-step euler)"
+        )
+
+    final, traj = jax.lax.scan(step, x, (ts, dts))
+    return traj if return_trajectory else final
+
+
+def sde_sample(
+    drift: DriftFn,  # sde drift: (x, t)->dx
+    diffusion: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    key: jax.Array,
+    x: jnp.ndarray,
+    t_grid: jnp.ndarray,
+    method: str = "Euler",
+    last_step_fn: Optional[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Euler–Maruyama / Heun SDE integration (integrators.py:29-75)."""
+    n = t_grid.shape[0]
+    dt = t_grid[1] - t_grid[0]
+    ts = t_grid[:-1]
+    keys = jax.random.split(key, n - 1)
+
+    if method == "Euler":
+        def step(carry, inp):
+            t, k = inp
+            w = jax.random.normal(k, carry.shape, dtype=carry.dtype)
+            dw = w * jnp.sqrt(dt)
+            d = drift(carry, t)
+            diff = diffusion(carry, t)
+            mean_x = carry + d * dt
+            nxt = mean_x + jnp.sqrt(2 * diff) * dw
+            return nxt, None
+    elif method == "Heun":
+        def step(carry, inp):
+            t, k = inp
+            w = jax.random.normal(k, carry.shape, dtype=carry.dtype)
+            dw = w * jnp.sqrt(dt)
+            diff = diffusion(carry, t)
+            xhat = carry + jnp.sqrt(2 * diff) * dw
+            k1 = drift(xhat, t)
+            xp = xhat + dt * k1
+            k2 = drift(xp, t + dt)
+            nxt = xhat + 0.5 * dt * (k1 + k2)
+            return nxt, None
+    else:
+        raise NotImplementedError(f"SDE method {method!r}")
+
+    final, _ = jax.lax.scan(step, x, (ts, keys))
+    if last_step_fn is not None:
+        final = last_step_fn(final, t_grid[-1])
+    return final
+
+
+def forward_with_cfg(
+    model_fn: Callable[..., jnp.ndarray],
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    y: jnp.ndarray,
+    cfg_scale: float,
+    cfg_interval: bool = False,
+    cfg_interval_start: Optional[float] = None,
+    cfg_channels: int = 3,
+) -> jnp.ndarray:
+    """Classifier-free guidance with batch doubling.
+
+    Matches LightningDiT.forward_with_cfg (lightningdit.py:420-442) including
+    the deliberate first-3-channels-only guidance quirk (line 432); pass
+    cfg_channels equal to the full channel count for standard CFG.
+    ``x`` is the doubled batch [z; z]; ``y`` is [labels; null]. ``t`` is (B,).
+    """
+    half = x[: x.shape[0] // 2]
+    combined = jnp.concatenate([half, half], axis=0)
+    model_out = model_fn(combined, t, y)
+    eps = model_out[:, :cfg_channels]
+    rest = model_out[:, cfg_channels:]
+    cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+    half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+    if cfg_interval:
+        assert cfg_interval_start is not None
+        half_eps = jnp.where(t[0] < cfg_interval_start, cond_eps, half_eps)
+    eps = jnp.concatenate([half_eps, half_eps], axis=0)
+    return jnp.concatenate([eps, rest], axis=1)
+
+
+class Sampler:
+    """Sampler facade matching transport.Sampler (transport.py:270-443)."""
+
+    def __init__(self, transport):
+        self.transport = transport
+        self.drift = transport.get_drift()
+        self.score = transport.get_score()
+
+    def sample_ode(
+        self,
+        *,
+        sampling_method: str = "dopri5",
+        num_steps: int = 50,
+        atol: float = 1e-6,
+        rtol: float = 1e-3,
+        reverse: bool = False,
+        timestep_shift: float = 0.0,
+        return_trajectory: bool = False,
+    ):
+        """Return sample_fn(x, model_fn, **model_kwargs) -> final state.
+
+        atol/rtol accepted for interface parity; fixed-step methods ignore
+        them (the reference's production path is euler/250 which is fixed).
+        """
+        if sampling_method == "dopri5":
+            # adaptive not supported on the static-shape path; the reference
+            # default is overridden to euler by every shipped config.
+            sampling_method = "rk4"
+
+        base_drift = self.drift
+        if reverse:
+            drift = lambda x, t, model, **kw: base_drift(
+                x, jnp.ones_like(t) * (1 - t), model, **kw
+            )
+        else:
+            drift = base_drift
+
+        t0, t1 = self.transport.check_interval(
+            self.transport.train_eps,
+            self.transport.sample_eps,
+            sde=False,
+            eval=True,
+            reverse=reverse,
+            last_step_size=0.0,
+        )
+        t_grid = jnp.asarray(make_time_grid(t0, t1, num_steps, timestep_shift))
+
+        def sample_fn(x, model_fn, **model_kwargs):
+            def _drift(xc, t_scalar):
+                t = jnp.full((xc.shape[0],), t_scalar, dtype=xc.dtype)
+                return drift(xc, t, model_fn, **model_kwargs)
+
+            return ode_sample(
+                _drift,
+                x,
+                t_grid,
+                method=sampling_method,
+                return_trajectory=return_trajectory,
+            )
+
+        return sample_fn
+
+    def sample_sde(
+        self,
+        *,
+        sampling_method: str = "Euler",
+        diffusion_form: str = "SBDM",
+        diffusion_norm: float = 1.0,
+        last_step: Optional[str] = "Mean",
+        last_step_size: float = 0.04,
+        num_steps: int = 250,
+    ):
+        if last_step is None:
+            last_step_size = 0.0
+
+        def diffusion_fn(x, t):
+            return self.transport.path_sampler.compute_diffusion(
+                x, t, form=diffusion_form, norm=diffusion_norm
+            )
+
+        t0, t1 = self.transport.check_interval(
+            self.transport.train_eps,
+            self.transport.sample_eps,
+            diffusion_form=diffusion_form,
+            sde=True,
+            eval=True,
+            reverse=False,
+            last_step_size=last_step_size,
+        )
+        t_grid = jnp.asarray(make_time_grid(t0, t1, num_steps, 0.0))
+
+        def sample_fn(key, x, model_fn, **model_kwargs):
+            def _sde_drift(xc, t_scalar):
+                t = jnp.full((xc.shape[0],), t_scalar, dtype=xc.dtype)
+                return self.drift(xc, t, model_fn, **model_kwargs) + diffusion_fn(
+                    xc, t
+                ) * self.score(xc, t, model_fn, **model_kwargs)
+
+            def _diffusion(xc, t_scalar):
+                t = jnp.full((xc.shape[0],), t_scalar, dtype=xc.dtype)
+                return diffusion_fn(xc, t)
+
+            def _last(xc, t_scalar):
+                t = jnp.full((xc.shape[0],), t_scalar, dtype=xc.dtype)
+                if last_step is None:
+                    return xc
+                if last_step == "Mean":
+                    return xc + _sde_drift(xc, t_scalar) * last_step_size
+                if last_step == "Tweedie":
+                    alpha = self.transport.path_sampler.compute_alpha_t
+                    sigma = self.transport.path_sampler.compute_sigma_t
+                    a = alpha(jnp.asarray(t1))[0]
+                    s = sigma(jnp.asarray(t1))[0]
+                    return xc / a + (s**2) / a * self.score(
+                        xc, t, model_fn, **model_kwargs
+                    )
+                if last_step == "Euler":
+                    return xc + self.drift(
+                        xc, t, model_fn, **model_kwargs
+                    ) * last_step_size
+                raise NotImplementedError(last_step)
+
+            return sde_sample(
+                _sde_drift,
+                _diffusion,
+                key,
+                x,
+                t_grid,
+                method=sampling_method,
+                last_step_fn=_last,
+            )
+
+        return sample_fn
