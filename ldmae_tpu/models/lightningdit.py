@@ -1,0 +1,377 @@
+"""LightningDiT — diffusion transformer, TPU-native.
+
+Functional re-design of /root/reference/LDMAE/models/lightningdit.py:
+adaLN-zero DiT with optional RoPE (EVA 2-D axial), QK-RMSNorm, SwiGLU FFN and
+RMSNorm, matching the reference math block-for-block while organising the
+computation for XLA:
+
+  * parameters for all blocks are stacked on a leading depth axis and the
+    block loop is a single ``lax.scan`` (one compiled block program, optional
+    ``jax.checkpoint`` rematerialisation = the reference's use_checkpoint)
+  * the fixed sin-cos positional table and RoPE cos/sin tables are constants
+    (not parameters; recomputed for any resolution — replaces pe_reset)
+  * patch embedding is patchify+matmul on the MXU (no conv)
+  * compute in bf16 with fp32 accumulation; LayerNorm/RMSNorm in fp32
+
+Registry names and all hyperparameters mirror lightningdit.py:498-531.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (
+    build_rope_table,
+    dense,
+    get_2d_sincos_pos_embed,
+    layer_norm,
+    mlp_gelu,
+    modulate,
+    multi_head_attention,
+    rms_norm,
+    swiglu_ffn,
+    timestep_embedding_freqs,
+    unpatchify,
+)
+from ..ops.patchify import patch_embed
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class DiTSpec:
+    input_size: int = 32
+    patch_size: int = 2
+    in_channels: int = 32
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    class_dropout_prob: float = 0.1
+    num_classes: int = 1000
+    learn_sigma: bool = False
+    use_qknorm: bool = False
+    use_swiglu: bool = False
+    use_rope: bool = False
+    use_rmsnorm: bool = False
+    wo_shift: bool = False
+    use_checkpoint: bool = False
+    freq_embed_size: int = 256
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * 2 if self.learn_sigma else self.in_channels
+
+    @property
+    def num_patches(self) -> int:
+        return (self.input_size // self.patch_size) ** 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def num_adaln(self) -> int:
+        return 4 if self.wo_shift else 6
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+    @property
+    def swiglu_hidden(self) -> int:
+        # lightningdit.py:217 — int(2/3 * mlp_hidden)
+        return int(2 / 3 * self.mlp_hidden)
+
+
+class DiTConsts:
+    """Non-trainable tables derived from the spec."""
+
+    def __init__(self, spec: DiTSpec):
+        grid = spec.input_size // spec.patch_size
+        self.pos_embed = jnp.asarray(
+            get_2d_sincos_pos_embed(spec.hidden_size, grid)
+        )
+        self.t_freqs = jnp.asarray(timestep_embedding_freqs(spec.freq_embed_size))
+        if spec.use_rope:
+            cos, sin = build_rope_table(spec.head_dim // 2, grid)
+            self.rope = (jnp.asarray(cos), jnp.asarray(sin))
+        else:
+            self.rope = None
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _xavier(key, shape, fan_in, fan_out):
+    a = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, shape, minval=-a, maxval=a, dtype=jnp.float32)
+
+
+def init_dit_params(key: jax.Array, spec: DiTSpec) -> Params:
+    """Initialisation matching LightningDiT.initialize_weights
+    (lightningdit.py:340-374): xavier-uniform linears (patch-embed viewed as
+    linear), N(0,0.02) embeddings and t-MLP, zero adaLN and final linear."""
+    keys = iter(jax.random.split(key, 64))
+    d = spec.hidden_size
+    p = spec.patch_size
+    pin = p * p * spec.in_channels
+    hd = spec.head_dim
+    l = spec.depth
+
+    params: Params = {}
+    params["x_embedder"] = {
+        "w": _xavier(next(keys), (pin, d), pin, d),
+        "b": jnp.zeros((d,)),
+    }
+    params["t_embedder"] = {
+        "fc1": {
+            "w": jax.random.normal(next(keys), (spec.freq_embed_size, d)) * 0.02,
+            "b": jnp.zeros((d,)),
+        },
+        "fc2": {
+            "w": jax.random.normal(next(keys), (d, d)) * 0.02,
+            "b": jnp.zeros((d,)),
+        },
+    }
+    n_embed = spec.num_classes + (1 if spec.class_dropout_prob > 0 else 0)
+    params["y_embedder"] = {
+        "table": jax.random.normal(next(keys), (n_embed, d)) * 0.02
+    }
+
+    def stack(f):
+        return jnp.stack([f(next(keys)) for _ in range(l)])
+
+    attn: Params = {
+        "qkv": {
+            "w": stack(lambda k: _xavier(k, (d, 3, d), d, 3 * d)),
+            "b": jnp.zeros((l, 3, d)),
+        },
+        "proj": {
+            "w": stack(lambda k: _xavier(k, (d, d), d, d)),
+            "b": jnp.zeros((l, d)),
+        },
+    }
+    if spec.use_qknorm:
+        if spec.use_rmsnorm:
+            attn["q_norm"] = {"scale": jnp.ones((l, hd))}
+            attn["k_norm"] = {"scale": jnp.ones((l, hd))}
+        else:  # LayerNorm(head_dim) with affine (torch default)
+            attn["q_norm"] = {"scale": jnp.ones((l, hd)), "bias": jnp.zeros((l, hd))}
+            attn["k_norm"] = {"scale": jnp.ones((l, hd)), "bias": jnp.zeros((l, hd))}
+
+    if spec.use_swiglu:
+        h = spec.swiglu_hidden
+        mlp: Params = {
+            "w1": {"w": stack(lambda k: _xavier(k, (d, h), d, 2 * h)), "b": jnp.zeros((l, h))},
+            "w2": {"w": stack(lambda k: _xavier(k, (d, h), d, 2 * h)), "b": jnp.zeros((l, h))},
+            "w3": {"w": stack(lambda k: _xavier(k, (h, d), h, d)), "b": jnp.zeros((l, d))},
+        }
+    else:
+        h = spec.mlp_hidden
+        mlp = {
+            "fc1": {"w": stack(lambda k: _xavier(k, (d, h), d, h)), "b": jnp.zeros((l, h))},
+            "fc2": {"w": stack(lambda k: _xavier(k, (h, d), h, d)), "b": jnp.zeros((l, d))},
+        }
+
+    blocks: Params = {
+        "attn": attn,
+        "mlp": mlp,
+        "adaln": {
+            "w": jnp.zeros((l, d, spec.num_adaln, d)),
+            "b": jnp.zeros((l, spec.num_adaln, d)),
+        },
+    }
+    if spec.use_rmsnorm:
+        blocks["norm1"] = {"scale": jnp.ones((l, d))}
+        blocks["norm2"] = {"scale": jnp.ones((l, d))}
+    params["blocks"] = blocks
+
+    params["final_layer"] = {
+        "adaln": {"w": jnp.zeros((d, 2, d)), "b": jnp.zeros((2, d))},
+        "linear": {
+            "w": jnp.zeros((d, p * p * spec.out_channels)),
+            "b": jnp.zeros((p * p * spec.out_channels,)),
+        },
+    }
+    if spec.use_rmsnorm:
+        params["final_layer"]["norm"] = {"scale": jnp.ones((d,))}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(
+    t: jnp.ndarray, freqs: jnp.ndarray, dim: int
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (lightningdit.py:108-131): [cos | sin]."""
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def _norm(x, p, use_rmsnorm):
+    if use_rmsnorm:
+        return rms_norm(x, p["scale"])
+    return layer_norm(x, eps=1e-6)
+
+
+def _block(
+    x: jnp.ndarray,
+    c_mod: jnp.ndarray,
+    bp: Params,
+    spec: DiTSpec,
+    rope,
+    attn_impl: str,
+) -> jnp.ndarray:
+    """One LightningDiT block (lightningdit.py:239-250).
+
+    c_mod: precomputed SiLU(c) (B, D) — the adaLN projection itself is
+    per-block so it happens here.
+    """
+    d = spec.hidden_size
+    na = spec.num_adaln
+    mod = dense(c_mod, {"w": bp["adaln"]["w"].reshape(d, na * d), "b": bp["adaln"]["b"].reshape(na * d)})
+    mod = mod.reshape(-1, na, d)
+    if spec.wo_shift:
+        scale_msa, gate_msa, scale_mlp, gate_mlp = [mod[:, i] for i in range(4)]
+        shift_msa = shift_mlp = None
+    else:
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+            mod[:, i] for i in range(6)
+        ]
+
+    h = modulate(_norm(x, bp.get("norm1"), spec.use_rmsnorm), shift_msa, scale_msa)
+    attn_out = multi_head_attention(
+        h,
+        bp["attn"],
+        spec.num_heads,
+        rope=rope,
+        qk_norm_kind="rms" if spec.use_rmsnorm else "layer",
+        impl=attn_impl,
+    )
+    x = x + gate_msa[:, None, :].astype(x.dtype) * attn_out
+
+    h = modulate(_norm(x, bp.get("norm2"), spec.use_rmsnorm), shift_mlp, scale_mlp)
+    if spec.use_swiglu:
+        mlp_out = swiglu_ffn(h, bp["mlp"])
+    else:
+        mlp_out = mlp_gelu(h, bp["mlp"], approximate=True)
+    x = x + gate_mlp[:, None, :].astype(x.dtype) * mlp_out
+    return x
+
+
+def dit_forward(
+    params: Params,
+    spec: DiTSpec,
+    consts: DiTConsts,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    train: bool = False,
+    label_drop_key: Optional[jax.Array] = None,
+    force_drop_ids: Optional[jnp.ndarray] = None,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    attn_impl: str = "xla",
+) -> jnp.ndarray:
+    """Forward pass. x: (N, C, H, W) NCHW latents; t, y: (N,).
+
+    Returns (N, out_channels or in_channels, H, W) in float32.
+    """
+    b = x.shape[0]
+    d = spec.hidden_size
+
+    tokens = patch_embed(
+        x.astype(compute_dtype), params["x_embedder"], spec.patch_size,
+        compute_dtype=compute_dtype,
+    )
+    tokens = tokens + consts.pos_embed.astype(compute_dtype)[None]
+
+    # timestep embedding (fp32 freqs, then MLP in compute dtype)
+    t_freq = timestep_embedding(t, consts.t_freqs, spec.freq_embed_size)
+    t_emb = dense(t_freq.astype(compute_dtype), params["t_embedder"]["fc1"])
+    t_emb = jax.nn.silu(t_emb)
+    t_emb = dense(t_emb, params["t_embedder"]["fc2"])
+
+    # label embedding with CFG dropout (lightningdit.py:152-169)
+    use_dropout = spec.class_dropout_prob > 0
+    labels = y
+    if (train and use_dropout) or (force_drop_ids is not None):
+        if force_drop_ids is not None:
+            drop = force_drop_ids == 1
+        else:
+            assert label_drop_key is not None, "label dropout needs an rng key"
+            drop = (
+                jax.random.uniform(label_drop_key, (b,)) < spec.class_dropout_prob
+            )
+        labels = jnp.where(drop, spec.num_classes, labels)
+    y_emb = params["y_embedder"]["table"].astype(compute_dtype)[labels]
+
+    c = t_emb + y_emb
+    c_mod = jax.nn.silu(c)
+
+    block_fn = partial(
+        _block, spec=spec, rope=consts.rope, attn_impl=attn_impl
+    )
+    if spec.use_checkpoint:
+        block_fn = jax.checkpoint(block_fn)
+
+    def scan_body(carry, bp):
+        return block_fn(carry, c_mod, bp), None
+
+    tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
+
+    # final layer (lightningdit.py:267-272): chunk(2) -> (shift, scale)
+    fl = params["final_layer"]
+    mod = dense(c_mod, {"w": fl["adaln"]["w"].reshape(d, 2 * d), "b": fl["adaln"]["b"].reshape(2 * d)})
+    mod = mod.reshape(b, 2, d)
+    shift, scale = mod[:, 0], mod[:, 1]
+    h = modulate(_norm(tokens, fl.get("norm"), spec.use_rmsnorm), shift, scale)
+    h = dense(h, fl["linear"])
+
+    out = unpatchify(h.astype(jnp.float32), spec.patch_size, spec.out_channels)
+    if spec.learn_sigma:
+        out = out[:, : spec.in_channels]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Registry (lightningdit.py:498-531)
+# ---------------------------------------------------------------------------
+
+_REGISTRY = {
+    "LightningDiT-XL/1": dict(depth=28, hidden_size=1152, patch_size=1, num_heads=16),
+    "LightningDiT-XL/2": dict(depth=28, hidden_size=1152, patch_size=2, num_heads=16),
+    "LightningDiT-L/2": dict(depth=24, hidden_size=1024, patch_size=2, num_heads=16),
+    "LightningDiT-B/1": dict(depth=12, hidden_size=768, patch_size=1, num_heads=12),
+    "LightningDiT-B/2": dict(depth=12, hidden_size=768, patch_size=2, num_heads=12),
+    "LightningDiT-1p0B/1": dict(depth=24, hidden_size=1536, patch_size=1, num_heads=24),
+    "LightningDiT-1p0B/2": dict(depth=24, hidden_size=1536, patch_size=2, num_heads=24),
+    "LightningDiT-1p6B/1": dict(depth=28, hidden_size=1792, patch_size=1, num_heads=28),
+    "LightningDiT-1p6B/2": dict(depth=28, hidden_size=1792, patch_size=2, num_heads=28),
+}
+
+
+def dit_spec(model_type: str, **overrides) -> DiTSpec:
+    base = dict(_REGISTRY[model_type])
+    base.update(overrides)
+    return DiTSpec(**base)
+
+
+def list_models():
+    return sorted(_REGISTRY)

@@ -1,0 +1,375 @@
+"""End-to-end weight-import parity: torch reference-layout models vs ldmae_tpu.
+
+Small torch models are built here with the reference's module/parameter
+naming (independent implementations from the math documented in SURVEY.md),
+their random state_dicts are imported through ldmae_tpu.train.torch_import,
+and forward outputs must match to fp32 tolerance. This pins every convention
+that would silently shift FID: qkv packing, adaLN chunk order, SwiGLU w12
+split, PatchEmbed conv layout, RoPE pairing, LN eps, sincos PE tables,
+mask-token unshuffle, DiagonalGaussian chunking, conv decoder heads.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from ldmae_tpu.models.lightningdit import DiTSpec, DiTConsts, dit_forward
+from ldmae_tpu.models.vmae import (
+    VMAESpec,
+    VMAEConsts,
+    decode,
+    forward_decoder,
+    forward_encoder,
+    ldmae_encode_moments,
+    reconstruct,
+)
+from ldmae_tpu.ops import get_2d_sincos_pos_embed, build_rope_table
+from ldmae_tpu.train.torch_import import (
+    import_dit_state_dict,
+    import_vmae_state_dict,
+)
+
+torch.manual_seed(0)
+
+
+# ---------------------------------------------------------------------------
+# Torch building blocks (reference-layout, independent implementation)
+# ---------------------------------------------------------------------------
+
+
+class TPatchEmbed(nn.Module):
+    def __init__(self, in_c, d, p):
+        super().__init__()
+        self.proj = nn.Conv2d(in_c, d, kernel_size=p, stride=p)
+
+    def forward(self, x):
+        return self.proj(x).flatten(2).transpose(1, 2)
+
+
+class TRMSNorm(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+
+    def forward(self, x):
+        out = (x.float() * torch.rsqrt(x.float().pow(2).mean(-1, keepdim=True) + 1e-6)).type_as(x)
+        return out * self.weight
+
+
+def t_rotate_half(x):
+    x2 = x.reshape(*x.shape[:-1], x.shape[-1] // 2, 2)
+    a, b = x2[..., 0], x2[..., 1]
+    return torch.stack([-b, a], dim=-1).reshape(x.shape)
+
+
+class TAttention(nn.Module):
+    def __init__(self, d, heads, qk_norm=False, use_rmsnorm=True):
+        super().__init__()
+        self.num_heads = heads
+        self.head_dim = d // heads
+        self.qkv = nn.Linear(d, 3 * d, bias=True)
+        self.q_norm = TRMSNorm(self.head_dim) if qk_norm else nn.Identity()
+        self.k_norm = TRMSNorm(self.head_dim) if qk_norm else nn.Identity()
+        self.proj = nn.Linear(d, d)
+
+    def forward(self, x, rope=None):
+        B, N, C = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.num_heads, self.head_dim).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.unbind(0)
+        q, k = self.q_norm(q), self.k_norm(k)
+        if rope is not None:
+            cos, sin = rope
+            q = q * cos + t_rotate_half(q) * sin
+            k = k * cos + t_rotate_half(k) * sin
+        x = F.scaled_dot_product_attention(q, k, v)
+        return self.proj(x.transpose(1, 2).reshape(B, N, C))
+
+
+class TSwiGLU(nn.Module):
+    def __init__(self, d, h):
+        super().__init__()
+        self.w12 = nn.Linear(d, 2 * h)
+        self.w3 = nn.Linear(h, d)
+
+    def forward(self, x):
+        x1, x2 = self.w12(x).chunk(2, dim=-1)
+        return self.w3(F.silu(x1) * x2)
+
+
+class TDiTBlock(nn.Module):
+    def __init__(self, d, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = TRMSNorm(d)
+        self.norm2 = TRMSNorm(d)
+        self.attn = TAttention(d, heads, qk_norm=True)
+        self.mlp = TSwiGLU(d, int(2 / 3 * int(d * mlp_ratio)))
+        self.adaLN_modulation = nn.Sequential(nn.SiLU(), nn.Linear(d, 6 * d))
+
+    def forward(self, x, c, rope):
+        sm, scm, gm, sp, scp, gp = self.adaLN_modulation(c).chunk(6, dim=1)
+        h = self.norm1(x) * (1 + scm.unsqueeze(1)) + sm.unsqueeze(1)
+        x = x + gm.unsqueeze(1) * self.attn(h, rope)
+        h = self.norm2(x) * (1 + scp.unsqueeze(1)) + sp.unsqueeze(1)
+        x = x + gp.unsqueeze(1) * self.mlp(h)
+        return x
+
+
+class TFinalLayer(nn.Module):
+    def __init__(self, d, p, out_c):
+        super().__init__()
+        self.norm_final = TRMSNorm(d)
+        self.linear = nn.Linear(d, p * p * out_c)
+        self.adaLN_modulation = nn.Sequential(nn.SiLU(), nn.Linear(d, 2 * d))
+
+    def forward(self, x, c):
+        shift, scale = self.adaLN_modulation(c).chunk(2, dim=1)
+        return self.linear(self.norm_final(x) * (1 + scale.unsqueeze(1)) + shift.unsqueeze(1))
+
+
+class TMiniDiT(nn.Module):
+    def __init__(self, input_size=8, patch_size=1, in_c=4, d=32, depth=2, heads=4, num_classes=10):
+        super().__init__()
+        self.p = patch_size
+        self.in_c = in_c
+        grid = input_size // patch_size
+        self.x_embedder = TPatchEmbed(in_c, d, patch_size)
+        self.t_embedder = nn.Module()
+        self.t_embedder.mlp = nn.Sequential(nn.Linear(256, d), nn.SiLU(), nn.Linear(d, d))
+        self.y_embedder = nn.Module()
+        self.y_embedder.embedding_table = nn.Embedding(num_classes + 1, d)
+        self.register_buffer(
+            "pos_embed",
+            torch.from_numpy(get_2d_sincos_pos_embed(d, grid)).float().unsqueeze(0),
+        )
+        cos, sin = build_rope_table((d // heads) // 2, grid)
+        self.rope = (torch.from_numpy(cos), torch.from_numpy(sin))
+        self.blocks = nn.ModuleList([TDiTBlock(d, heads) for _ in range(depth)])
+        self.final_layer = TFinalLayer(d, patch_size, in_c)
+
+    def t_embed(self, t, dim=256, max_period=10000):
+        half = dim // 2
+        freqs = torch.exp(-math.log(max_period) * torch.arange(half).float() / half)
+        args = t[:, None].float() * freqs[None]
+        return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+    def forward(self, x, t, y):
+        x = self.x_embedder(x) + self.pos_embed
+        c = self.t_embedder.mlp(self.t_embed(t)) + self.y_embedder.embedding_table(y)
+        for blk in self.blocks:
+            x = blk(x, c, self.rope)
+        x = self.final_layer(x, c)
+        # unpatchify
+        B, L, _ = x.shape
+        h = w = int(L**0.5)
+        x = x.reshape(B, h, w, self.p, self.p, self.in_c)
+        x = torch.einsum("nhwpqc->nchpwq", x)
+        return x.reshape(B, self.in_c, h * self.p, w * self.p)
+
+
+class TestDiTParity:
+    def test_forward_matches(self):
+        tm = TMiniDiT()
+        # randomise everything incl. adaLN so the test isn't trivially zero
+        for p in tm.parameters():
+            nn.init.normal_(p, std=0.3)
+        tm.eval()
+
+        spec = DiTSpec(
+            input_size=8, patch_size=1, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=10, use_qknorm=True, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = import_dit_state_dict(sd, spec)
+        consts = DiTConsts(spec)
+
+        x = torch.randn(3, 4, 8, 8)
+        t = torch.tensor([0.1, 0.5, 0.9])
+        y = torch.tensor([0, 3, 10])
+        with torch.no_grad():
+            ref = tm(x, t, y).numpy()
+        out = dit_forward(
+            params, spec, consts,
+            jnp.asarray(x.numpy()), jnp.asarray(t.numpy()), jnp.asarray(y.numpy()),
+            train=False, compute_dtype=jnp.float32,
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# VMAE torch mini model
+# ---------------------------------------------------------------------------
+
+
+class TViTBlock(nn.Module):
+    def __init__(self, d, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d, eps=1e-6)
+        self.attn = TAttention(d, heads, qk_norm=False)
+        self.norm2 = nn.LayerNorm(d, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(d, int(d * mlp_ratio))
+        self.mlp.fc2 = nn.Linear(int(d * mlp_ratio), d)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        h = self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + h
+
+
+class TConvDecoderPred(nn.Module):
+    """smooth_output head, pred_with_conv=False: linear + conv-on-rgb."""
+
+    def __init__(self, dd, p, in_c=3):
+        super().__init__()
+        self.p = p
+        self.linear_pred = nn.Linear(dd, p * p * in_c)
+        self.conv_smoother = nn.Conv2d(in_c, in_c, 3, 1, 1)
+
+    def forward(self, x):
+        h = w = int(x.shape[1] ** 0.5)
+        x = self.linear_pred(x)
+        x = x.reshape(x.shape[0], h, w, self.p, self.p, 3)
+        x = torch.einsum("nhwpqc->nchpwq", x)
+        x = x.reshape(x.shape[0], 3, h * self.p, w * self.p)
+        x = self.conv_smoother(x)
+        x = x.reshape(x.shape[0], 3, h, self.p, w, self.p)
+        x = torch.einsum("nchpwq->nhwpqc", x)
+        return x.reshape(x.shape[0], h * w, self.p * self.p * 3)
+
+
+class TMiniVMAE(nn.Module):
+    def __init__(self, img=16, p=4, d=24, depth=2, heads=4, dd=24, ddepth=2, dheads=4, latent=4, smooth=True):
+        super().__init__()
+        grid = img // p
+        self.p, self.latent = p, latent
+        self.patch_embed = TPatchEmbed(3, d, p)
+        self.register_buffer(
+            "pos_embed", torch.from_numpy(get_2d_sincos_pos_embed(d, grid)).float().unsqueeze(0)
+        )
+        self.register_buffer(
+            "decoder_pos_embed", torch.from_numpy(get_2d_sincos_pos_embed(dd, grid)).float().unsqueeze(0)
+        )
+        self.blocks = nn.ModuleList([TViTBlock(d, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(d, eps=1e-6)
+        self.to_latent = nn.Linear(d, 2 * latent)
+        self.from_latent = nn.Linear(latent, d)
+        self.decoder_embed = nn.Linear(d, dd)
+        self.mask_token = nn.Parameter(torch.zeros(1, 1, dd))
+        self.decoder_blocks = nn.ModuleList([TViTBlock(dd, dheads) for _ in range(ddepth)])
+        self.decoder_norm = nn.LayerNorm(dd, eps=1e-6)
+        if smooth:
+            self.decoder_pred = TConvDecoderPred(dd, p)
+        else:
+            self.decoder_pred = nn.Linear(dd, p * p * 3)
+
+    def encode_moments(self, imgs):
+        x = self.patch_embed(imgs) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        x = self.to_latent(x)
+        g = int(x.shape[1] ** 0.5)
+        return x.permute(0, 2, 1).reshape(x.shape[0], -1, g, g)
+
+    def decode(self, z):
+        b, c, h, w = z.shape
+        x = z.reshape(b, c, h * w).permute(0, 2, 1)
+        x = self.from_latent(x)
+        x = self.decoder_embed(x) + self.decoder_pos_embed
+        for blk in self.decoder_blocks:
+            x = blk(x)
+        x = self.decoder_norm(x)
+        x = self.decoder_pred(x)
+        # unpatchify
+        g = int(x.shape[1] ** 0.5)
+        x = x.reshape(b, g, g, self.p, self.p, 3)
+        x = torch.einsum("nhwpqc->nchpwq", x)
+        return x.reshape(b, 3, g * self.p, g * self.p)
+
+    def forward_decoder_with_mask(self, x_keep, ids_restore):
+        x = self.decoder_embed(x_keep)
+        mask_tokens = self.mask_token.repeat(x.shape[0], ids_restore.shape[1] + 1 - x.shape[1] - 1, 1)
+        x_ = torch.cat([x, mask_tokens], dim=1)
+        x = torch.gather(x_, 1, ids_restore.unsqueeze(-1).repeat(1, 1, x.shape[2]))
+        x = x + self.decoder_pos_embed
+        for blk in self.decoder_blocks:
+            x = blk(x)
+        x = self.decoder_norm(x)
+        return self.decoder_pred(x)
+
+
+def _mini_spec(smooth=True):
+    return VMAESpec(
+        img_size=16, patch_size=4, embed_dim=24, depth=2, num_heads=4,
+        decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+        latent_dim=4, no_cls=True, kl_loss_weight=1e-6, smooth_output=smooth,
+    )
+
+
+class TestVMAEParity:
+    def _build(self, smooth=True):
+        tm = TMiniVMAE(smooth=smooth)
+        for p in tm.parameters():
+            nn.init.normal_(p, std=0.3)
+        tm.eval()
+        spec = _mini_spec(smooth)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = import_vmae_state_dict(sd, spec)
+        return tm, spec, params, VMAEConsts(spec)
+
+    def test_encode_moments(self):
+        tm, spec, params, consts = self._build()
+        imgs = torch.randn(2, 3, 16, 16)
+        with torch.no_grad():
+            ref = tm.encode_moments(imgs).numpy()
+        out = ldmae_encode_moments(params, spec, consts, jnp.asarray(imgs.numpy()))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-4)
+
+    def test_decode_smooth_output(self):
+        tm, spec, params, consts = self._build()
+        z = torch.randn(2, 4, 4, 4)
+        with torch.no_grad():
+            ref = tm.decode(z).numpy()
+        out = decode(params, spec, consts, jnp.asarray(z.numpy()))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-4)
+
+    def test_decode_linear_pred(self):
+        tm, spec, params, consts = self._build(smooth=False)
+        z = torch.randn(2, 4, 4, 4)
+        with torch.no_grad():
+            ref = tm.decode(z).numpy()
+        out = decode(params, spec, consts, jnp.asarray(z.numpy()))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-4)
+
+    def test_masked_decoder_unshuffle(self):
+        """Decoder mask-token gather/unshuffle path vs torch."""
+        tm, spec, params, consts = self._build(smooth=False)
+        n_tokens = 16
+        keep = 8
+        x_keep = torch.randn(2, keep, 24)
+        perm = torch.stack([torch.randperm(n_tokens) for _ in range(2)])
+        ids_restore = torch.argsort(perm, dim=1)
+        with torch.no_grad():
+            ref = tm.forward_decoder_with_mask(x_keep, ids_restore).numpy()
+        out = forward_decoder(
+            params, spec, consts, jnp.asarray(x_keep.numpy()), jnp.asarray(ids_restore.numpy())
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-4)
+
+    def test_roundtrip_reconstruct_runs(self):
+        tm, spec, params, consts = self._build()
+        imgs = jax.random.normal(jax.random.key(0), (2, 3, 16, 16))
+        pred = reconstruct(params, spec, consts, imgs, use_mode=True)
+        assert pred.shape == (2, 16, 48)
+        assert np.all(np.isfinite(np.asarray(pred)))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
