@@ -70,21 +70,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # ---------------------------------------------------------------------------
 
 
-def dit_param_spec(path: tuple, leaf: Any, fsdp: bool, tp: bool) -> P:
+def dit_param_spec(
+    path: tuple, leaf: Any, fsdp: bool, tp: bool, mesh: Optional[Mesh] = None
+) -> P:
     """PartitionSpec for a LightningDiT parameter leaf.
 
     path: tuple of str dict keys from the pytree root, e.g.
     ("blocks", "attn", "qkv", "w")  with leaf shape (L, D, 3, D).
+    Falls back to replication on any dim not divisible by the axis size.
     """
     keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
     keys = [k for k in keys if k is not None]
     name = "/".join(str(k) for k in keys)
     ndim = leaf.ndim
 
+    def axis_size(ax):
+        if mesh is None:
+            return 1
+        return mesh.shape[ax]
+
     def spec(*inner):
         # blocks leaves carry a leading layer axis
-        if "blocks" in keys:
-            return P(None, *inner)
+        lead = [None] if "blocks" in keys else []
+        inner = list(lead) + list(inner)
+        # divisibility guard: drop axes that don't divide the dim
+        for i, ax in enumerate(inner):
+            if ax is not None and leaf.shape[i] % axis_size(ax) != 0:
+                inner[i] = None
         return P(*inner)
 
     if tp:
@@ -125,7 +137,7 @@ def shard_params(mesh: Mesh, params: Any, use_fsdp: bool = False, use_tp: bool =
     """Device-put a parameter pytree with dit_param_spec shardings."""
 
     def _put(path, leaf):
-        spec = dit_param_spec(path, leaf, use_fsdp, use_tp)
+        spec = dit_param_spec(path, leaf, use_fsdp, use_tp, mesh)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(_put, params)
@@ -133,6 +145,6 @@ def shard_params(mesh: Mesh, params: Any, use_fsdp: bool = False, use_tp: bool =
 
 def param_shardings(mesh: Mesh, params: Any, use_fsdp: bool = False, use_tp: bool = False) -> Any:
     def _spec(path, leaf):
-        return NamedSharding(mesh, dit_param_spec(path, leaf, use_fsdp, use_tp))
+        return NamedSharding(mesh, dit_param_spec(path, leaf, use_fsdp, use_tp, mesh))
 
     return jax.tree_util.tree_map_with_path(_spec, params)
