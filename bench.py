@@ -1,0 +1,133 @@
+"""Benchmark: end-to-end class-conditional sampling throughput.
+
+Measures images/sec/chip for the reference's production inference config
+(LDMAE/configs/imagenet/lightningdit_b_vmae_f8d16_cfg.yaml:62-80):
+LightningDiT-B/1 at 256² (32²×16 latents), 250-step Euler ODE,
+timestep_shift 0.3, CFG 10.0 with batch doubling + cfg-interval 0.10,
+decoded through the VMAE f8d16 tokenizer to uint8 images — the whole
+pipeline as one jitted XLA program on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is vs. an analytic A100 reference estimate of the same pipeline
+(~0.40 img/s/GPU: 155 TFLOPs/image at the ~25-30% MFU typical of the
+reference's eager-ish torch loop; BASELINE.md north star is ≥2×).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+A100_BASELINE_IMGS_PER_SEC = 0.40  # analytic estimate, see module docstring
+
+
+def main(batch: int = 32, iters: int = 3, num_steps: int = 250):
+    from ldmae_tpu.eval.sampling import make_sample_fn
+    from ldmae_tpu.models.lightningdit import DiTConsts, dit_spec, init_dit_params
+    from ldmae_tpu.models.vmae import VMAEConsts, init_vmae_params, vmae_spec
+    from ldmae_tpu.transport import create_transport
+
+    spec = dit_spec(
+        "LightningDiT-B/1",
+        input_size=32,
+        in_channels=16,
+        num_classes=1000,
+        use_qknorm=True,
+        use_swiglu=True,
+        use_rope=True,
+        use_rmsnorm=True,
+    )
+    consts = DiTConsts(spec)
+    params = init_dit_params(jax.random.key(0), spec)
+
+    vspec = vmae_spec(
+        "mae_for_ldmae_f8d16_prev",
+        img_size=256,
+        ldmae_mode=True,
+        no_cls=True,
+        kl_loss_weight=True,
+        smooth_output=True,
+    )
+    vconsts = VMAEConsts(vspec)
+    vparams = init_vmae_params(jax.random.key(1), vspec)
+
+    transport = create_transport("Linear", "velocity", use_lognorm=True)
+    latent_std = jnp.ones((1, 16, 1, 1))
+    latent_mean = jnp.zeros((1, 16, 1, 1))
+
+    sample_fn = make_sample_fn(
+        spec,
+        consts,
+        transport,
+        num_steps=num_steps,
+        sampling_method="euler",
+        timestep_shift=0.3,
+        cfg_scale=10.0,
+        cfg_interval=True,
+        cfg_interval_start=0.10,
+        cfg_channels=3,
+        vae_spec=vspec,
+        vae_consts=vconsts,
+        compute_dtype=jnp.bfloat16,
+        attn_impl=os.environ.get("LDMAE_ATTN_IMPL", "xla"),
+    )
+    sample_jit = jax.jit(sample_fn)
+    bundle = {
+        "dit": params,
+        "vae": vparams,
+        "latent_mean": latent_mean,
+        "latent_std": latent_std,
+    }
+
+    y = jnp.arange(batch, dtype=jnp.int32) % 1000
+
+    # warmup / compile
+    t0 = time.time()
+    imgs = sample_jit(bundle, jax.random.key(42), y)
+    jax.block_until_ready(imgs)
+    compile_time = time.time() - t0
+    assert imgs.shape == (batch, 256, 256, 3) and imgs.dtype == jnp.uint8
+
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        imgs = sample_jit(bundle, jax.random.key(i), y)
+        jax.block_until_ready(imgs)
+        times.append(time.time() - t0)
+
+    best = min(times)
+    ips = batch / best
+    print(
+        f"# batch={batch} steps={num_steps} compile={compile_time:.1f}s "
+        f"times={['%.2f' % t for t in times]} device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sampling_throughput_imagenet256_lightningdit_b1_cfg",
+                "value": round(ips, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / A100_BASELINE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--num_steps", type=int, default=250)
+    a = p.parse_args()
+    main(a.batch, a.iters, a.num_steps)

@@ -1,0 +1,110 @@
+"""Latent extraction driver.
+
+CLI equivalent of /root/reference/LDMAE/extract_features.py: encodes the whole
+dataset through the VMAE tokenizer (unflipped + flipped variants in one pass),
+writes reference-format safetensors shards
+(latents_rank{R}_shard{S}.safetensors with latents/latents_flip/labels), and
+precomputes latents_stats.pt.
+
+When ``data.sample`` is set the raw 32-channel moments are stored (the
+posterior is sampled at load time); otherwise the posterior mode (16 ch)
+(extract_features.py:148-152).
+
+Usage:
+    python -m ldmae_tpu.cli.extract_features --config configs/imagenet/....yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--out", default=None, help="override output dir")
+    parser.add_argument("--limit", type=int, default=None)
+    args = parser.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from ..core.config import LDMAEConfig
+    from ..data.images import ImageFolderDataset
+    from ..data.latent_dataset import ImgLatentDataset, LatentShardWriter
+    from ..models import vmae as vmae_mod
+    from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec
+    from ..train import torch_import
+
+    config = LDMAEConfig.from_yaml(args.config)
+    store_moments = config.data.sample
+
+    out_dir = args.out or (
+        config.data.data_path + ("_sample" if store_moments else "")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    vspec = vmae_spec(
+        "mae_for_ldmae_f8d16_prev",
+        img_size=config.data.image_size,
+        ldmae_mode=True,
+        no_cls=True,
+        kl_loss_weight=True,
+        smooth_output=True,
+    )
+    consts = VMAEConsts(vspec)
+    wp = config.vae.weight_path
+    if wp and os.path.exists(wp):
+        params = torch_import.import_vmae_checkpoint(wp, vspec)
+        print(f"loaded tokenizer weights from {wp}")
+    else:
+        params = init_vmae_params(jax.random.key(0), vspec)
+        print("WARNING: no tokenizer weights found, using random init")
+
+    from ..ops.gaussian import diagonal_gaussian
+
+    @jax.jit
+    def encode_batch(imgs):
+        moments = vmae_mod.ldmae_encode_moments(
+            params, vspec, consts, imgs, compute_dtype=jnp.bfloat16
+        )
+        if store_moments:
+            return moments  # raw 32-ch moments (extract_features.py:148-150)
+        return diagonal_gaussian(moments, axis=1).mode()
+
+    dataset = ImageFolderDataset(config.data.origin_path, config.data.image_size)
+    n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
+    print(f"extracting {n} images from {config.data.origin_path} -> {out_dir}")
+
+    rank, world = jax.process_index(), jax.process_count()
+    writer = LatentShardWriter(out_dir, rank=rank, shard_size=10000)
+    it_plain = dataset.iter_batches(args.batch, hflip=False, process_index=rank, process_count=world)
+    it_flip = dataset.iter_batches(args.batch, hflip=True, process_index=rank, process_count=world)
+
+    t0 = time.time()
+    done = 0
+    for (imgs, labels, idxs), (imgs_f, _, _) in zip(it_plain, it_flip):
+        if done >= n:
+            break
+        lat = np.asarray(encode_batch(jnp.asarray(imgs)))
+        lat_f = np.asarray(encode_batch(jnp.asarray(imgs_f)))
+        writer.add(lat, lat_f, labels)
+        done += len(labels)
+        if done % (args.batch * 10) < args.batch:
+            print(f"[rank {rank}] {done}/{n} ({done / (time.time() - t0):.1f} img/s)")
+    writer.flush()
+
+    if rank == 0:
+        ds = ImgLatentDataset(out_dir, latent_norm=True, sample=store_moments)
+        print(f"latent stats cached; mean[:4]={ds._latent_mean.ravel()[:4]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Sampling / FID-50k driver.
+
+CLI equivalent of /root/reference/LDMAE/inference.py: loads a trained DiT
+(Orbax EMA or a torch .pt checkpoint), builds the jitted end-to-end sampler
+(250-step Euler + CFG + VMAE decode in one XLA program), writes PNGs with a
+threaded writer overlapped with the next batch's device compute, supports the
+8-class demo grid and skip-if-enough-pngs resume.
+
+Usage:
+    python -m ldmae_tpu.cli.inference --config configs/imagenet/....yaml [--demo]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import threading
+import queue
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def folder_name(config) -> str:
+    """Sample-folder naming from model/ckpt/solver/cfg/shift
+    (inference.py:45-52)."""
+    s = config.sample
+    model_str = config.model.model_type.replace("/", "-")
+    ckpt_str = os.path.splitext(os.path.basename(config.ckpt_path or "random"))[0]
+    return (
+        f"{model_str}-{ckpt_str}-size-{config.data.image_size}-size-{config.data.image_size}"
+        f"-{s.mode}-{s.num_sampling_steps}-cfg-{s.cfg_scale}"
+        f"-interval{s.cfg_interval_start}-shift{s.timestep_shift}-seed-{config.train.global_seed}"
+    )
+
+
+class AsyncPngWriter:
+    """Threaded PNG writer (inference.py:32-38's save_images_async)."""
+
+    def __init__(self, out_dir: str, workers: int = 8):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.q: "queue.Queue" = queue.Queue(maxsize=64)
+        self.threads = [threading.Thread(target=self._run, daemon=True) for _ in range(workers)]
+        for t in self.threads:
+            t.start()
+
+    def _run(self):
+        from PIL import Image
+
+        while True:
+            item = self.q.get()
+            if item is None:
+                break
+            arr, idx = item
+            Image.fromarray(arr).save(os.path.join(self.out_dir, f"{idx:06d}.png"))
+            self.q.task_done()
+
+    def submit(self, images: np.ndarray, indices):
+        for img, idx in zip(images, indices):
+            self.q.put((img, int(idx)))
+
+    def close(self):
+        self.q.join()
+        for _ in self.threads:
+            self.q.put(None)
+        for t in self.threads:
+            t.join()
+
+
+def build_pipeline(config, ckpt_path=None, dit_params=None):
+    """Build (sample_fn, spec) from config; loads DiT weights from Orbax
+    (ema) or a torch .pt, and the VMAE tokenizer from vae.weight_path."""
+    from ..core.config import LDMAEConfig
+    from ..eval.sampling import make_sample_fn
+    from ..models.lightningdit import DiTConsts
+    from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec
+    from ..train.train_dit import build_from_config
+    from ..train import torch_import
+    from ..data.latent_dataset import ImgLatentDataset
+
+    key = jax.random.key(config.train.global_seed)
+    spec, consts, params, transport, _, _ = build_from_config(config, key)
+
+    ckpt = ckpt_path or config.ckpt_path
+    if dit_params is not None:
+        params = dit_params
+    elif ckpt and os.path.exists(str(ckpt)) and str(ckpt).endswith((".pt", ".pth")):
+        params = torch_import.import_dit_checkpoint(str(ckpt), spec, key="ema")
+    elif ckpt and os.path.isdir(str(ckpt)):
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as c:
+            restored = c.restore(os.path.abspath(str(ckpt)))
+        params = restored["ema"] if "ema" in restored else restored["params"]
+
+    # tokenizer
+    vspec = vmae_spec(
+        "mae_for_ldmae_f8d16_prev",
+        img_size=config.data.image_size,
+        ldmae_mode=True,
+        no_cls=True,
+        kl_loss_weight=True,
+        smooth_output=True,
+    )
+    vconsts = VMAEConsts(vspec)
+    wp = config.vae.weight_path
+    if wp and os.path.exists(wp):
+        vparams = torch_import.import_vmae_checkpoint(wp, vspec)
+    else:
+        vparams = init_vmae_params(jax.random.key(7), vspec)
+
+    # latent stats (inference.py:207-217 — requires the training latents dir)
+    latent_mean = latent_std = None
+    if config.data.latent_norm and os.path.isdir(config.data.data_path):
+        try:
+            ds = ImgLatentDataset(
+                config.data.data_path,
+                latent_norm=True,
+                sample=config.data.sample,
+            )
+            latent_mean = jnp.asarray(ds._latent_mean)
+            latent_std = jnp.asarray(ds._latent_std)
+        except FileNotFoundError:
+            pass
+
+    s = config.sample
+    sample_fn = make_sample_fn(
+        spec, consts, transport,
+        num_steps=s.num_sampling_steps,
+        sampling_method=s.sampling_method,
+        timestep_shift=s.timestep_shift,
+        cfg_scale=s.cfg_scale,
+        cfg_interval=True,
+        cfg_interval_start=s.cfg_interval_start,
+        cfg_channels=s.cfg_channels,
+        latent_multiplier=config.data.latent_multiplier,
+        vae_spec=vspec,
+        vae_consts=vconsts,
+        compute_dtype=jnp.bfloat16,
+        attn_impl=config.parallel.attention_impl,
+    )
+    bundle = {
+        "dit": params,
+        "vae": vparams,
+        "latent_mean": latent_mean,
+        "latent_std": latent_std,
+    }
+    return sample_fn, bundle, spec
+
+
+def do_sample(config, demo: bool = False, out_root: str = None):
+    from ..eval.sampling import demo_labels
+
+    exp_dir = os.path.join(config.train.output_dir, config.train.exp_name)
+    out_dir = os.path.join(out_root or exp_dir, folder_name(config))
+    s = config.sample
+
+    sample_fn, bundle, spec = build_pipeline(config)
+    sample_jit = jax.jit(sample_fn)
+
+    if demo:
+        y = demo_labels()
+        imgs = np.asarray(sample_jit(bundle, jax.random.key(config.train.global_seed), y))
+        os.makedirs(out_dir, exist_ok=True)
+        from PIL import Image
+
+        grid = imgs.reshape(2, 4, *imgs.shape[1:]).transpose(0, 2, 1, 3, 4)
+        grid = grid.reshape(2 * imgs.shape[1], 4 * imgs.shape[2], 3)
+        path = os.path.join(out_dir, "demo_grid.png")
+        Image.fromarray(grid).save(path)
+        print(f"demo grid -> {path}")
+        return out_dir
+
+    # resume: skip if enough pngs exist (inference.py:67-77)
+    fid_num = s.fid_num
+    if os.path.isdir(out_dir):
+        existing = len([f for f in os.listdir(out_dir) if f.endswith(".png")])
+        if existing >= fid_num:
+            print(f"{out_dir} already has {existing} >= {fid_num} pngs, skipping")
+            return out_dir
+
+    writer = AsyncPngWriter(out_dir)
+    per_batch = s.per_proc_batch_size
+    n_batches = (fid_num + per_batch - 1) // per_batch
+    rank, world = jax.process_index(), jax.process_count()
+    rng = np.random.default_rng(config.train.global_seed + rank)
+    done = 0
+    t0 = time.time()
+    for i in range(rank, n_batches, world):
+        key = jax.random.key(config.train.global_seed * 100003 + i)
+        y = jnp.asarray(
+            rng.integers(0, config.data.num_classes, size=per_batch), jnp.int32
+        )
+        imgs = np.asarray(sample_jit(bundle, key, y))
+        indices = np.arange(i * per_batch, i * per_batch + per_batch)
+        keep = indices < fid_num
+        writer.submit(imgs[keep], indices[keep])
+        done += int(keep.sum())
+        print(
+            f"[rank {rank}] batch {i + 1}/{n_batches} "
+            f"({done} imgs, {done / (time.time() - t0):.2f} img/s)"
+        )
+    writer.close()
+    return out_dir
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--demo", action="store_true")
+    parser.add_argument("--ckpt", default=None)
+    args = parser.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from ..core.config import LDMAEConfig
+
+    config = LDMAEConfig.from_yaml(args.config)
+    if args.ckpt:
+        config.ckpt_path = args.ckpt
+    do_sample(config, demo=args.demo)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""DiT training driver.
+
+CLI equivalent of /root/reference/LDMAE/train_accum.py (accelerate launch →
+do_train): loads a reference-layout YAML, builds the model/transport/optim,
+streams latent shards, runs the jitted SPMD train step, logs every
+``log_every`` optimizer steps with steps/sec, checkpoints every
+``ckpt_every``, supports resume-from-latest and torch warm-start.
+
+Usage:
+    python -m ldmae_tpu.cli.train_dit --config configs/imagenet/lightningdit_b_vmae_f8d16.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def setup_logger(exp_dir: str) -> logging.Logger:
+    """Rank-0 logger with timestamped lines → stdout + log.txt
+    (train_accum.py:362-377)."""
+    os.makedirs(exp_dir, exist_ok=True)
+    logger = logging.getLogger("ldmae_tpu")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter(
+        "[\033[34m%(asctime)s\033[0m] %(message)s", datefmt="%Y-%m-%d %H:%M:%S"
+    )
+    if jax.process_index() == 0:
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        fh = logging.FileHandler(os.path.join(exp_dir, "log.txt"))
+        fh.setFormatter(logging.Formatter("[%(asctime)s] %(message)s"))
+        logger.addHandler(sh)
+        logger.addHandler(fh)
+    return logger
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--dp", type=int, default=-1)
+    parser.add_argument("--fsdp", type=int, default=1)
+    parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--max_steps", type=int, default=None)
+    args = parser.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from ..core.config import LDMAEConfig
+    from ..data.latent_dataset import ImgLatentDataset
+    from ..parallel import create_mesh, shard_batch, shard_params
+    from ..train.state import init_train_state, restore_checkpoint, save_checkpoint
+    from ..train.train_dit import build_from_config
+    from ..train import torch_import
+
+    config = LDMAEConfig.from_yaml(args.config)
+    if args.max_steps is not None:
+        config.train.max_steps = args.max_steps
+
+    exp_dir = os.path.join(config.train.output_dir, config.train.exp_name)
+    logger = setup_logger(exp_dir)
+    logger.info(f"Experiment directory: {exp_dir}")
+    logger.info(f"devices: {jax.device_count()} ({jax.devices()[0].platform})")
+
+    mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
+    key = jax.random.key(config.train.global_seed)
+    spec, consts, params, transport, tx, step_fn = build_from_config(config, key)
+
+    # warm start from a torch checkpoint (train_accum.py:95-103, 308-334)
+    if config.train.weight_init:
+        loaded = torch_import.import_dit_checkpoint(
+            config.train.weight_init, spec, key="model"
+        )
+        params = torch_import.warm_start_filter(params, loaded)
+        logger.info(f"warm-started from {config.train.weight_init}")
+
+    params = shard_params(mesh, params, use_fsdp=args.fsdp > 1, use_tp=args.tp > 1)
+    state = init_train_state(params, tx)
+
+    restored = restore_checkpoint(exp_dir, state)
+    if restored is not None:
+        state = restored
+        logger.info(f"resumed from step {int(state.step)}")
+
+    # data (sample-at-load semantics per data.sample; flip 50/50)
+    data_path = config.data.data_path
+    if config.data.sample and not data_path.endswith("_sample"):
+        # reference appends _sample to the data dir name (train_accum.py:124)
+        cand = data_path + "_sample"
+        if os.path.isdir(cand):
+            data_path = cand
+    dataset = ImgLatentDataset(
+        data_path,
+        latent_norm=config.data.latent_norm,
+        latent_multiplier=config.data.latent_multiplier,
+        sample=config.data.sample,
+        seed=config.train.global_seed,
+    )
+    logger.info(f"dataset: {len(dataset)} latents from {data_path}")
+
+    accum = config.train.gradient_accumulation_steps
+    micro = config.train.global_batch_size // accum
+    batches = dataset.iter_batches(
+        micro * accum,
+        shuffle=True,
+        seed=config.train.global_seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    step_jit = jax.jit(step_fn, donate_argnums=(0,))
+    rng = jax.random.key(config.train.global_seed + 1)
+
+    running_loss, log_steps = 0.0, 0
+    start = time.time()
+    logger.info(f"training for {config.train.max_steps} steps "
+                f"(global_batch={config.train.global_batch_size}, accum={accum})")
+    while int(state.step) < config.train.max_steps:
+        host = next(batches)
+        batch = {
+            "x": host["x"].reshape(accum, micro, *host["x"].shape[1:]),
+            "y": host["y"].reshape(accum, micro),
+        }
+        batch = shard_batch(mesh, batch, axis=1)
+        state, metrics = step_jit(state, batch, rng)
+        running_loss += float(metrics["loss"])
+        log_steps += 1
+        train_steps = int(state.step)
+
+        if train_steps % config.train.log_every == 0:
+            jax.block_until_ready(metrics["loss"])
+            dt = time.time() - start
+            logger.info(
+                f"(step={train_steps:07d}) Train Loss: {running_loss / log_steps:.4f}, "
+                f"Train Steps/Sec: {log_steps / dt:.2f}"
+            )
+            running_loss, log_steps = 0.0, 0
+            start = time.time()
+
+        if train_steps % config.train.ckpt_every == 0 and train_steps > 0:
+            if jax.process_index() == 0:
+                path = save_checkpoint(exp_dir, state, config=config.to_dict())
+                logger.info(f"Saved checkpoint to {path}")
+
+    if jax.process_index() == 0:
+        path = save_checkpoint(exp_dir, state, config=config.to_dict())
+        logger.info(f"Saved final checkpoint to {path}")
+
+
+if __name__ == "__main__":
+    main()

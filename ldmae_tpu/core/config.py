@@ -39,6 +39,7 @@ def _from_dict(cls, data: Dict[str, Any]):
 
 @dataclass
 class DataConfig:
+    name: Optional[str] = None
     data_path: str = ""
     origin_path: str = ""
     fid_reference_file: str = ""

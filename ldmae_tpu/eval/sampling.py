@@ -1,0 +1,110 @@
+"""End-to-end class-conditional sampling pipeline.
+
+TPU-native equivalent of /root/reference/LDMAE/inference.py's do_sample:
+the full 250-step Euler ODE with CFG batch-doubling, the latent
+denormalisation ``(samples · latent_std)/latent_multiplier + latent_mean``
+(inference.py:291), and the VMAE decode to uint8 images — compiled into one
+XLA program. No host round-trips inside the loop; PNG writing is the only
+host work, overlapped with the next batch's compute.
+
+Parameters are passed as function arguments (NOT closed over) so they enter
+the jitted program as inputs rather than baked constants.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import vmae as vmae_mod
+from ..models.lightningdit import DiTConsts, DiTSpec, dit_forward
+from ..models.vmae import VMAEConsts, VMAESpec
+from ..transport.samplers import Sampler, forward_with_cfg
+from ..transport.transport import Transport
+
+
+def make_sample_fn(
+    spec: DiTSpec,
+    consts: DiTConsts,
+    transport: Transport,
+    *,
+    num_steps: int = 250,
+    sampling_method: str = "euler",
+    timestep_shift: float = 0.0,
+    cfg_scale: float = 1.0,
+    cfg_interval: bool = True,
+    cfg_interval_start: float = 0.10,
+    cfg_channels: int = 3,
+    latent_multiplier: float = 1.0,
+    vae_spec: Optional[VMAESpec] = None,
+    vae_consts: Optional[VMAEConsts] = None,
+    compute_dtype=jnp.bfloat16,
+    attn_impl: str = "xla",
+) -> Callable[..., jnp.ndarray]:
+    """Build sample_fn(bundle, key, y) -> uint8 images (B, H, W, 3) when a
+    VAE is configured, else denormalised latents (B, C, h, w).
+
+    bundle: {"dit": dit_params, "vae": vmae_params or None,
+             "latent_mean": (1,C,1,1) or None, "latent_std": ... or None}
+    y: (B,) int labels; CFG doubles the batch internally when cfg_scale > 1
+    with null label = num_classes (inference.py:277-282).
+    """
+    sampler = Sampler(transport)
+    ode_fn = sampler.sample_ode(
+        sampling_method=sampling_method,
+        num_steps=num_steps,
+        timestep_shift=timestep_shift,
+    )
+    use_cfg = cfg_scale > 1.0
+
+    def sample_fn(bundle: Dict[str, Any], key: jax.Array, y: jnp.ndarray) -> jnp.ndarray:
+        dit_params = bundle["dit"]
+
+        def model_fn(x, t, y):
+            return dit_forward(
+                dit_params, spec, consts, x, t, y,
+                train=False, compute_dtype=compute_dtype, attn_impl=attn_impl,
+            ).astype(x.dtype)
+
+        def guided_fn(x, t, y):
+            return forward_with_cfg(
+                model_fn, x, t, y, cfg_scale,
+                cfg_interval=cfg_interval,
+                cfg_interval_start=cfg_interval_start,
+                cfg_channels=cfg_channels,
+            )
+
+        b = y.shape[0]
+        h = spec.input_size
+        z = jax.random.normal(
+            key, (b, spec.in_channels, h, h), dtype=jnp.float32
+        ).astype(compute_dtype)
+        if use_cfg:
+            z = jnp.concatenate([z, z], axis=0)
+            y_null = jnp.full((b,), spec.num_classes, dtype=y.dtype)
+            y_all = jnp.concatenate([y, y_null], axis=0)
+            samples = ode_fn(z, guided_fn, y=y_all)
+            samples = samples[:b]
+        else:
+            samples = ode_fn(z, model_fn, y=y)
+
+        samples = samples.astype(jnp.float32)
+        if bundle.get("latent_std") is not None:
+            samples = samples * bundle["latent_std"] / latent_multiplier
+        if bundle.get("latent_mean") is not None:
+            samples = samples + bundle["latent_mean"]
+        if vae_spec is None or bundle.get("vae") is None:
+            return samples
+        return vmae_mod.decode_to_images(
+            bundle["vae"], vae_spec, vae_consts, samples,
+            compute_dtype=compute_dtype, attn_impl=attn_impl,
+        )
+
+    return sample_fn
+
+
+def demo_labels() -> jnp.ndarray:
+    """The reference's fixed 8-class demo grid (inference.py:219-262)."""
+    return jnp.array([975, 3, 207, 387, 388, 88, 979, 279], dtype=jnp.int32)

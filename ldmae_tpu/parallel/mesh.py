@@ -48,12 +48,15 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(("dp", "fsdp"), *([None] * 0)))
 
 
-def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """Device-put a host batch with the leading dim sharded over (dp, fsdp)."""
+def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
+    """Device-put a host batch with dim ``axis`` sharded over (dp, fsdp).
+
+    axis=1 for gradient-accumulation-shaped batches (A, B, ...)."""
 
     def _put(x):
-        spec = P(("dp", "fsdp"), *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        inner = [None] * x.ndim
+        inner[axis] = ("dp", "fsdp")
+        return jax.device_put(x, NamedSharding(mesh, P(*inner)))
 
     return jax.tree_util.tree_map(_put, tree)
 

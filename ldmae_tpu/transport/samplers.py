@@ -47,27 +47,28 @@ def ode_sample(
     """Integrate dx/dt = drift(x, t) over t_grid with a fixed-step scheme."""
     ts = t_grid[:-1]
     dts = t_grid[1:] - t_grid[:-1]
+    dtype = x.dtype
 
     if method == "euler":
         def step(carry, tdt):
             t, dt = tdt
-            nxt = carry + dt * drift(carry, t)
+            nxt = (carry + dt * drift(carry, t)).astype(dtype)
             return nxt, (nxt if return_trajectory else None)
     elif method == "heun":
         def step(carry, tdt):
             t, dt = tdt
             k1 = drift(carry, t)
-            k2 = drift(carry + dt * k1, t + dt)
-            nxt = carry + dt * 0.5 * (k1 + k2)
+            k2 = drift((carry + dt * k1).astype(dtype), t + dt)
+            nxt = (carry + dt * 0.5 * (k1 + k2)).astype(dtype)
             return nxt, (nxt if return_trajectory else None)
     elif method == "rk4":
         def step(carry, tdt):
             t, dt = tdt
             k1 = drift(carry, t)
-            k2 = drift(carry + 0.5 * dt * k1, t + 0.5 * dt)
-            k3 = drift(carry + 0.5 * dt * k2, t + 0.5 * dt)
-            k4 = drift(carry + dt * k3, t + dt)
-            nxt = carry + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+            k2 = drift((carry + 0.5 * dt * k1).astype(dtype), t + 0.5 * dt)
+            k3 = drift((carry + 0.5 * dt * k2).astype(dtype), t + 0.5 * dt)
+            k4 = drift((carry + dt * k3).astype(dtype), t + dt)
+            nxt = (carry + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)).astype(dtype)
             return nxt, (nxt if return_trajectory else None)
     else:
         raise NotImplementedError(

@@ -1,0 +1,140 @@
+"""End-to-end tiny pipeline: images → VMAE extract → latent shards →
+DiT train → ODE sample → VMAE decode. Everything on the CPU mesh, tiny
+shapes, validating the full production flow wiring."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from ldmae_tpu.data.images import ImageFolderDataset, center_crop_arr
+from ldmae_tpu.data.latent_dataset import ImgLatentDataset, LatentShardWriter
+from ldmae_tpu.models import vmae as vmae_mod
+from ldmae_tpu.models.lightningdit import DiTConsts, DiTSpec, init_dit_params
+from ldmae_tpu.models.vmae import VMAEConsts, VMAESpec, init_vmae_params
+from ldmae_tpu.ops.gaussian import diagonal_gaussian
+from ldmae_tpu.eval.sampling import make_sample_fn
+from ldmae_tpu.train.state import init_train_state
+from ldmae_tpu.train.train_dit import make_optimizer, make_train_step
+from ldmae_tpu.transport import create_transport
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for ci in range(2):
+        d = root / f"class_{ci}"
+        d.mkdir()
+        for i in range(6):
+            arr = rng.integers(0, 255, (20, 24, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    return str(root)
+
+
+VSPEC = VMAESpec(
+    img_size=16, patch_size=4, embed_dim=24, depth=2, num_heads=4,
+    decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+    latent_dim=4, no_cls=True, kl_loss_weight=1e-6, smooth_output=True,
+    ldmae_mode=True,
+)
+
+
+class TestCenterCrop:
+    def test_adm_crop_shapes(self):
+        img = Image.fromarray(np.zeros((37, 99, 3), np.uint8))
+        out = center_crop_arr(img, 16)
+        assert out.size == (16, 16)
+        big = Image.fromarray(np.zeros((200, 130, 3), np.uint8))
+        out = center_crop_arr(big, 16)
+        assert out.size == (16, 16)
+
+
+class TestPipeline:
+    def test_full_pipeline(self, image_folder, tmp_path):
+        # 1) extract latents with a tiny VMAE (moments stored, sample=True)
+        consts = VMAEConsts(VSPEC)
+        vparams = init_vmae_params(jax.random.key(0), VSPEC)
+        ds = ImageFolderDataset(image_folder, image_size=16)
+        assert len(ds) == 12 and ds.classes == ["class_0", "class_1"]
+
+        out_dir = str(tmp_path / "latents")
+        writer = LatentShardWriter(out_dir, rank=0, shard_size=100)
+        it = ds.iter_batches(4, hflip=False)
+        it_f = ds.iter_batches(4, hflip=True)
+        for (imgs, labels, _), (imgs_f, _, _) in zip(it, it_f):
+            mom = vmae_mod.ldmae_encode_moments(vparams, VSPEC, consts, jnp.asarray(imgs))
+            mom_f = vmae_mod.ldmae_encode_moments(vparams, VSPEC, consts, jnp.asarray(imgs_f))
+            assert mom.shape == (len(labels), 8, 4, 4)  # 2*latent_dim moments
+            writer.add(np.asarray(mom), np.asarray(mom_f), labels)
+        writer.flush()
+
+        # 2) latent dataset with sampling + norm
+        lds = ImgLatentDataset(out_dir, latent_norm=True, sample=True)
+        assert len(lds) == 12
+        x, y = lds[0]
+        assert x.shape == (4, 4, 4)
+
+        # 3) tiny DiT training on those latents
+        spec = DiTSpec(
+            input_size=4, patch_size=1, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=2, use_qknorm=True, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        dconsts = DiTConsts(spec)
+        dparams = init_dit_params(jax.random.key(1), spec)
+        transport = create_transport("Linear", "velocity", use_lognorm=True)
+        tx = make_optimizer(1e-3, 0.95)
+        step = jax.jit(make_train_step(spec, dconsts, transport, tx, compute_dtype=jnp.float32))
+        state = init_train_state(dparams, tx)
+        batches = lds.iter_batches(4, shuffle=True, seed=0)
+        for _ in range(6):
+            b = next(batches)
+            state, metrics = step(
+                state, {"x": jnp.asarray(b["x"]), "y": jnp.asarray(b["y"].astype(np.int32))},
+                jax.random.key(2),
+            )
+        assert np.isfinite(float(metrics["loss"]))
+
+        # 4) sample end-to-end through the VMAE decoder
+        sample_fn = make_sample_fn(
+            spec, dconsts, transport,
+            num_steps=8, sampling_method="euler", timestep_shift=0.3,
+            cfg_scale=4.0, cfg_interval=True, cfg_interval_start=0.10,
+            cfg_channels=3,
+            vae_spec=VSPEC, vae_consts=consts,
+            compute_dtype=jnp.float32,
+        )
+        bundle = {
+            "dit": state.ema_params, "vae": vparams,
+            "latent_mean": jnp.asarray(lds._latent_mean),
+            "latent_std": jnp.asarray(lds._latent_std),
+        }
+        imgs = jax.jit(sample_fn)(bundle, jax.random.key(3), jnp.array([0, 1], jnp.int32))
+        assert imgs.shape == (2, 16, 16, 3)
+        assert imgs.dtype == jnp.uint8
+
+    def test_uncond_sampling(self, tmp_path):
+        """cfg_scale=0 (CelebA-HQ config) goes through the non-CFG path."""
+        spec = DiTSpec(
+            input_size=4, patch_size=1, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=1, class_dropout_prob=0.0,
+            use_swiglu=True, use_rope=True, use_rmsnorm=True,
+        )
+        consts = DiTConsts(spec)
+        params = init_dit_params(jax.random.key(0), spec)
+        transport = create_transport("Linear", "velocity")
+        fn = make_sample_fn(
+            spec, consts, transport, num_steps=4, cfg_scale=0.0,
+            compute_dtype=jnp.float32,
+        )
+        out = jax.jit(fn)({"dit": params}, jax.random.key(1), jnp.zeros((3,), jnp.int32))
+        assert out.shape == (3, 4, 4, 4)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
