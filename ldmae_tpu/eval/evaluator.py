@@ -1,0 +1,268 @@
+"""ADM-style generation evaluator: FID, sFID, Inception Score, Precision, Recall.
+
+Numpy/JAX re-implementation of /root/reference/LDMAE/tools/evaluator.py (the
+OpenAI ADM TF1 evaluator) on top of the JAX InceptionV3 port:
+
+  * pooled features (2048-d) → FID
+  * spatial features → sFID: the first 7 channels of the pre-aux mixed-6
+    feature map, flattened (evaluator.py:24, 614 take spatial[..., :7]).
+    Note: ADM reads these from the TF1 frozen graph; we use the equivalent
+    Mixed_6e activations of the FID Inception — same recipe, torch weights.
+  * Inception Score over 1008-way softmax in 5000-sample splits
+    (evaluator.py:194-207)
+  * Precision/Recall via k-NN manifold radii (k=3) with batched pairwise
+    distances (evaluator.py:220-445)
+  * npz handling: {mu, sigma, mu_s, sigma_s} stats files, or arr_0 image
+    batches; computed stats are reusable across runs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from .fid import calculate_frechet_distance
+
+
+@dataclass
+class FIDStatistics:
+    mu: np.ndarray
+    sigma: np.ndarray
+
+    def frechet_distance(self, other: "FIDStatistics", eps: float = 1e-6) -> float:
+        return calculate_frechet_distance(self.mu, self.sigma, other.mu, other.sigma, eps)
+
+
+def compute_statistics(activations: np.ndarray) -> FIDStatistics:
+    return FIDStatistics(
+        np.mean(activations, axis=0), np.cov(activations, rowvar=False)
+    )
+
+
+def compute_inception_score(preds: np.ndarray, split_size: int = 5000) -> float:
+    """preds: (N, num_classes) softmax outputs (evaluator.py:194-207)."""
+    scores = []
+    for i in range(0, len(preds), split_size):
+        part = preds[i : i + split_size]
+        kl = part * (np.log(part) - np.log(np.expand_dims(np.mean(part, 0), 0)))
+        kl = np.mean(np.sum(kl, 1))
+        scores.append(np.exp(kl))
+    return float(np.mean(scores))
+
+
+def _pairwise_sq_distances(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Squared L2 distances, matching ADM's DistanceBlock
+    (evaluator.py:448-470: ||u||² + ||v||² − 2u·v)."""
+    norm_u = np.square(u).sum(1)[:, None]
+    norm_v = np.square(v).sum(1)[None, :]
+    d = norm_u + norm_v - 2 * (u @ v.T)
+    return np.maximum(d, 0)
+
+
+class ManifoldEstimator:
+    """k-NN manifold estimator (evaluator.py:220-445)."""
+
+    def __init__(
+        self,
+        row_batch_size: int = 10000,
+        col_batch_size: int = 10000,
+        nhood_sizes: Tuple[int, ...] = (3,),
+        clamp_to_percentile: Optional[float] = None,
+        eps: float = 1e-5,
+    ):
+        self.row_batch_size = row_batch_size
+        self.col_batch_size = col_batch_size
+        self.nhood_sizes = list(nhood_sizes)
+        self.num_nhoods = len(nhood_sizes)
+        self.clamp_to_percentile = clamp_to_percentile
+        self.eps = eps
+
+    def manifold_radii(self, features: np.ndarray) -> np.ndarray:
+        n = len(features)
+        radii = np.zeros([n, self.num_nhoods], dtype=np.float32)
+        seq = np.arange(max(self.nhood_sizes) + 1, dtype=np.int32)
+        for b1 in range(0, n, self.row_batch_size):
+            e1 = min(b1 + self.row_batch_size, n)
+            dist = np.zeros([e1 - b1, n], dtype=np.float32)
+            for b2 in range(0, n, self.col_batch_size):
+                e2 = min(b2 + self.col_batch_size, n)
+                dist[:, b2:e2] = _pairwise_sq_distances(
+                    features[b1:e1], features[b2:e2]
+                )
+            # k-th smallest distance (k-NN radius); partition then index
+            part = np.partition(dist, seq, axis=1)
+            radii[b1:e1, :] = part[:, self.nhood_sizes]
+        if self.clamp_to_percentile is not None:
+            max_d = np.percentile(radii, self.clamp_to_percentile, axis=0)
+            radii[radii > max_d] = 0
+        return radii
+
+    def evaluate_pr(
+        self,
+        features_1: np.ndarray,
+        radii_1: np.ndarray,
+        features_2: np.ndarray,
+        radii_2: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """precision = fraction of features_2 inside manifold(features_1);
+        recall = fraction of features_1 inside manifold(features_2)."""
+        f1_in_2 = np.zeros([len(features_1), radii_2.shape[1]], dtype=bool)
+        f2_in_1 = np.zeros([len(features_2), radii_1.shape[1]], dtype=bool)
+        for b1 in range(0, len(features_1), self.row_batch_size):
+            e1 = min(b1 + self.row_batch_size, len(features_1))
+            batch_1 = features_1[b1:e1]
+            for b2 in range(0, len(features_2), self.col_batch_size):
+                e2 = min(b2 + self.col_batch_size, len(features_2))
+                batch_2 = features_2[b2:e2]
+                d = _pairwise_sq_distances(batch_1, batch_2)
+                f1_in_2[b1:e1] |= (d[:, :, None] <= radii_2[b2:e2][None]).any(axis=1)
+                f2_in_1[b2:e2] |= (
+                    (d.T[:, :, None] <= radii_1[b1:e1][None]).any(axis=1)
+                )
+        return (
+            np.mean(f2_in_1.astype(np.float64), axis=0),
+            np.mean(f1_in_2.astype(np.float64), axis=0),
+        )
+
+
+class Evaluator:
+    """Computes all generation metrics from image batches (evaluator.py:69-217)."""
+
+    def __init__(
+        self,
+        weights_path: Optional[str] = None,
+        batch_size: int = 64,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.inception import (
+            inception_forward,
+            load_inception_params,
+            DEFAULT_WEIGHTS_PATHS,
+        )
+
+        if weights_path is None:
+            for p in DEFAULT_WEIGHTS_PATHS:
+                if os.path.exists(p):
+                    weights_path = p
+                    break
+        self._params = load_inception_params(weights_path)
+        self._has_real_weights = weights_path is not None
+        self.batch_size = batch_size
+        self._fc = None
+        if weights_path is not None:
+            import torch
+
+            sd = torch.load(weights_path, map_location="cpu", weights_only=False)
+            if "fc.weight" in sd:
+                self._fc = (
+                    sd["fc.weight"].numpy().T.astype(np.float32),
+                    sd["fc.bias"].numpy().astype(np.float32),
+                )
+
+        def fwd(x):
+            pooled, spatial = inception_forward(
+                self._params, x, return_spatial=True
+            )
+            # sFID spatial features: first 7 channels, NHWC flatten
+            sp = jnp.transpose(spatial[:, :7], (0, 2, 3, 1)).reshape(x.shape[0], -1)
+            return pooled, sp
+
+        self._fwd = jax.jit(fwd)
+        self.manifold_estimator = ManifoldEstimator()
+
+    # -- activations -------------------------------------------------------
+    def compute_activations(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """images: (N, H, W, 3) uint8 or float[0,1] → (pooled, spatial)."""
+        import jax.numpy as jnp
+
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
+        pooled, spatial = [], []
+        for s in range(0, len(images), self.batch_size):
+            p, sp = self._fwd(jnp.asarray(images[s : s + self.batch_size]))
+            pooled.append(np.asarray(p))
+            spatial.append(np.asarray(sp))
+        return np.concatenate(pooled), np.concatenate(spatial)
+
+    def read_activations(self, npz_or_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Read an arr_0 npz (save_npz.py output) or an image folder and
+        stream it through Inception."""
+        if npz_or_dir.endswith(".npz"):
+            with np.load(npz_or_dir) as f:
+                images = f["arr_0"]
+            return self.compute_activations(images)
+        from .fid import get_folder_files
+
+        files = get_folder_files(npz_or_dir)
+        from PIL import Image
+
+        imgs = np.stack(
+            [np.asarray(Image.open(f).convert("RGB")) for f in files]
+        )
+        return self.compute_activations(imgs)
+
+    def read_statistics(
+        self, npz_path: str, activations: Tuple[np.ndarray, np.ndarray]
+    ) -> Tuple[FIDStatistics, FIDStatistics]:
+        """Stats from a reference npz with {mu, sigma, mu_s, sigma_s}, else
+        computed from activations (evaluator.py:179-188)."""
+        if npz_path and os.path.exists(npz_path):
+            obj = np.load(npz_path)
+            if "mu" in list(obj.keys()):
+                return (
+                    FIDStatistics(obj["mu"], obj["sigma"]),
+                    FIDStatistics(obj["mu_s"], obj["sigma_s"]),
+                )
+        return tuple(compute_statistics(x) for x in activations)
+
+    # -- metrics ----------------------------------------------------------
+    def compute_inception_score(self, pooled: np.ndarray, split_size: int = 5000) -> float:
+        if self._fc is None:
+            raise RuntimeError(
+                "Inception Score needs the fc head from the pt_inception "
+                "weights file"
+            )
+        w, b = self._fc
+        logits = pooled @ w + b
+        logits = logits - logits.max(axis=1, keepdims=True)
+        e = np.exp(logits)
+        preds = e / e.sum(axis=1, keepdims=True)
+        return compute_inception_score(preds, split_size)
+
+    def compute_prec_recall(
+        self, ref_pooled: np.ndarray, sample_pooled: np.ndarray
+    ) -> Tuple[float, float]:
+        radii_1 = self.manifold_estimator.manifold_radii(ref_pooled)
+        radii_2 = self.manifold_estimator.manifold_radii(sample_pooled)
+        pr = self.manifold_estimator.evaluate_pr(
+            ref_pooled, radii_1, sample_pooled, radii_2
+        )
+        return float(pr[0][0]), float(pr[1][0])
+
+    def full_report(
+        self, ref_path: str, sample_path: str, ref_stats_npz: Optional[str] = None
+    ) -> Dict[str, float]:
+        """FID / sFID / IS / Precision / Recall between a reference batch and
+        a sample batch (the reference pipeline's final eval step)."""
+        ref_acts = self.read_activations(ref_path)
+        sample_acts = self.read_activations(sample_path)
+        ref_stats, ref_stats_spatial = self.read_statistics(
+            ref_stats_npz or ref_path, ref_acts
+        )
+        sample_stats, sample_stats_spatial = self.read_statistics("", sample_acts)
+        report = {
+            "fid": sample_stats.frechet_distance(ref_stats),
+            "sfid": sample_stats_spatial.frechet_distance(ref_stats_spatial),
+            "precision": 0.0,
+            "recall": 0.0,
+        }
+        if self._fc is not None:
+            report["inception_score"] = self.compute_inception_score(sample_acts[0])
+        prec, rec = self.compute_prec_recall(ref_acts[0], sample_acts[0])
+        report["precision"], report["recall"] = prec, rec
+        return report

@@ -1,0 +1,99 @@
+"""ADM evaluator math: IS, precision/recall manifolds, sFID plumbing."""
+
+import numpy as np
+import pytest
+
+from ldmae_tpu.eval.evaluator import (
+    ManifoldEstimator,
+    compute_inception_score,
+    compute_statistics,
+    _pairwise_sq_distances,
+)
+
+
+class TestInceptionScore:
+    def test_uniform_predictions_give_one(self):
+        preds = np.full((1000, 10), 0.1)
+        assert abs(compute_inception_score(preds) - 1.0) < 1e-6
+
+    def test_confident_diverse_predictions_give_high(self):
+        # each sample fully confident, classes uniformly covered -> IS = C
+        c = 10
+        preds = np.zeros((1000, c)) + 1e-12
+        for i in range(1000):
+            preds[i, i % c] = 1.0
+        preds /= preds.sum(1, keepdims=True)
+        score = compute_inception_score(preds)
+        assert abs(score - c) / c < 0.01
+
+    def test_split_averaging(self):
+        rng = np.random.default_rng(0)
+        preds = rng.dirichlet(np.ones(5), size=12000)
+        s1 = compute_inception_score(preds, split_size=5000)
+        assert np.isfinite(s1) and s1 >= 1.0
+
+
+class TestManifold:
+    def test_pairwise_distances(self):
+        rng = np.random.default_rng(0)
+        u, v = rng.standard_normal((5, 3)), rng.standard_normal((7, 3))
+        d = _pairwise_sq_distances(u, v)
+        ref = ((u[:, None] - v[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(d, ref, rtol=1e-5, atol=1e-5)
+
+    def test_identical_sets_perfect_pr(self):
+        rng = np.random.default_rng(1)
+        feats = rng.standard_normal((200, 8)).astype(np.float32)
+        est = ManifoldEstimator()
+        radii = est.manifold_radii(feats)
+        prec, rec = est.evaluate_pr(feats, radii, feats, radii)
+        assert prec[0] == 1.0 and rec[0] == 1.0
+
+    def test_disjoint_sets_zero_pr(self):
+        rng = np.random.default_rng(2)
+        a = rng.standard_normal((100, 8)).astype(np.float32)
+        b = rng.standard_normal((100, 8)).astype(np.float32) + 100.0
+        est = ManifoldEstimator()
+        pr = est.evaluate_pr(a, est.manifold_radii(a), b, est.manifold_radii(b))
+        assert pr[0][0] == 0.0 and pr[1][0] == 0.0
+
+    def test_partial_overlap(self):
+        rng = np.random.default_rng(3)
+        ref = rng.standard_normal((500, 4)).astype(np.float32)
+        # half of samples from ref distribution, half far away
+        near = rng.standard_normal((250, 4)).astype(np.float32)
+        far = rng.standard_normal((250, 4)).astype(np.float32) + 50
+        samples = np.concatenate([near, far])
+        est = ManifoldEstimator()
+        prec, rec = est.evaluate_pr(
+            ref, est.manifold_radii(ref), samples, est.manifold_radii(samples)
+        )
+        assert 0.3 < prec[0] < 0.7  # ~half the samples are in-manifold
+
+    def test_batched_matches_unbatched(self):
+        rng = np.random.default_rng(4)
+        feats = rng.standard_normal((100, 6)).astype(np.float32)
+        other = rng.standard_normal((80, 6)).astype(np.float32)
+        big = ManifoldEstimator(row_batch_size=10000, col_batch_size=10000)
+        small = ManifoldEstimator(row_batch_size=17, col_batch_size=13)
+        np.testing.assert_allclose(
+            big.manifold_radii(feats), small.manifold_radii(feats), rtol=1e-5
+        )
+        r1b, r2b = big.manifold_radii(feats), big.manifold_radii(other)
+        pr_big = big.evaluate_pr(feats, r1b, other, r2b)
+        pr_small = small.evaluate_pr(feats, r1b, other, r2b)
+        np.testing.assert_allclose(pr_big[0], pr_small[0])
+        np.testing.assert_allclose(pr_big[1], pr_small[1])
+
+
+class TestStatistics:
+    def test_sfid_stats_shapes(self):
+        rng = np.random.default_rng(0)
+        act = rng.standard_normal((50, 20))
+        st = compute_statistics(act)
+        assert st.mu.shape == (20,) and st.sigma.shape == (20, 20)
+        assert st.frechet_distance(st) < 1e-6
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
