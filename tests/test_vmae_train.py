@@ -1,0 +1,158 @@
+"""VMAE trainer: LR schedule parity, stage-3 freezing, loss decrease, LPIPS."""
+
+import math
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ldmae_tpu.models.vmae import VMAEConsts, VMAESpec, init_vmae_params
+from ldmae_tpu.models.lpips import import_lpips_weights, lpips, make_lpips_fn
+from ldmae_tpu.train.state import init_train_state
+from ldmae_tpu.train.train_vmae import (
+    cosine_lr,
+    make_vmae_optimizer,
+    make_vmae_train_step,
+    _trainable_mask,
+)
+
+SPEC = VMAESpec(
+    img_size=16, patch_size=4, embed_dim=24, depth=2, num_heads=4,
+    decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+    latent_dim=4, no_cls=True, kl_loss_weight=1e-6, smooth_output=False,
+)
+
+
+def _reference_lr(epoch, lr, min_lr, warmup, total):
+    if epoch < warmup:
+        return lr * epoch / warmup
+    return min_lr + (lr - min_lr) * 0.5 * (
+        1.0 + math.cos(math.pi * (epoch - warmup) / (total - warmup))
+    )
+
+
+class TestLRSchedule:
+    def test_matches_reference_formula(self):
+        fn = cosine_lr(1e-3, 1e-5, warmup_epochs=40, total_epochs=400)
+        for e in [0.0, 0.5, 10.0, 39.9, 40.0, 100.0, 399.0, 400.0]:
+            np.testing.assert_allclose(
+                float(fn(jnp.asarray(e))),
+                _reference_lr(e, 1e-3, 1e-5, 40, 400),
+                rtol=1e-5,
+            )
+
+    def test_fixed_lr(self):
+        fn = cosine_lr(1e-3, 0, 40, 400, fixed_lr=True)
+        assert float(fn(jnp.asarray(123.0))) == pytest.approx(1e-3)
+
+
+class TestFreeze:
+    def test_trainable_mask_stage3(self):
+        params = init_vmae_params(jax.random.key(0), SPEC)
+        mask = _trainable_mask(params, tune_decoder=True)
+        flat = jax.tree_util.tree_leaves_with_path(mask)
+        for path, v in flat:
+            top = str(path[0].key)
+            expected = "decoder" in top or top == "from_latent"
+            assert v == expected, (top, v)
+
+    def test_frozen_params_unchanged(self):
+        spec = VMAESpec(
+            img_size=16, patch_size=4, embed_dim=24, depth=2, num_heads=4,
+            decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+            latent_dim=4, no_cls=True, kl_loss_weight=1e-6, smooth_output=False,
+            ldmae_mode=True,
+        )
+        consts = VMAEConsts(spec)
+        params = init_vmae_params(jax.random.key(0), spec)
+        tx = make_vmae_optimizer(
+            params, steps_per_epoch=10, base_lr=1e-2, tune_decoder=True,
+            total_epochs=10, warmup_epochs=0,
+        )
+        step = jax.jit(make_vmae_train_step(spec, consts, tx, tune_decoder=True))
+        state = init_train_state(params, tx)
+        x = jax.random.normal(jax.random.key(1), (4, 3, 16, 16))
+        state, metrics = step(state, {"x": x}, jax.random.key(2))
+        # encoder frozen, decoder moved
+        np.testing.assert_allclose(
+            np.asarray(state.params["patch_embed"]["w"]),
+            np.asarray(params["patch_embed"]["w"]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.params["to_latent"]["w"]), np.asarray(params["to_latent"]["w"])
+        )
+        assert not np.allclose(
+            np.asarray(state.params["decoder_embed"]["w"]),
+            np.asarray(params["decoder_embed"]["w"]),
+        )
+        assert not np.allclose(
+            np.asarray(state.params["from_latent"]["w"]),
+            np.asarray(params["from_latent"]["w"]),
+        )
+
+
+class TestStage1:
+    def test_loss_decreases(self):
+        consts = VMAEConsts(SPEC)
+        params = init_vmae_params(jax.random.key(0), SPEC)
+        tx = make_vmae_optimizer(
+            params, steps_per_epoch=5, base_lr=2e-3, warmup_epochs=1, total_epochs=40
+        )
+        step = jax.jit(
+            make_vmae_train_step(SPEC, consts, tx, mask_ratio=0.25)
+        )
+        state = init_train_state(params, tx)
+        # fixed small image set
+        x = jax.random.normal(jax.random.key(1), (8, 3, 16, 16)) * 0.5
+        losses = []
+        for i in range(40):
+            state, metrics = step(state, {"x": x}, jax.random.key(3))
+            losses.append(float(metrics["loss"]))
+            assert bool(metrics["loss_finite"])
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses[::8]
+
+    def test_metric_keys(self):
+        consts = VMAEConsts(SPEC)
+        params = init_vmae_params(jax.random.key(0), SPEC)
+        tx = make_vmae_optimizer(params, 5, base_lr=1e-3)
+        step = jax.jit(make_vmae_train_step(SPEC, consts, tx, mask_ratio=0.25))
+        state = init_train_state(params, tx)
+        x = jax.random.normal(jax.random.key(1), (2, 3, 16, 16))
+        _, m = step(state, {"x": x}, jax.random.key(2))
+        for k in ("loss", "vis_loss", "mask_loss", "kl_loss", "p_loss"):
+            assert k in m
+
+
+class TestLPIPS:
+    def test_zero_for_identical(self):
+        params = import_lpips_weights()  # random backbone
+        x = jax.random.normal(jax.random.key(0), (2, 3, 32, 32))
+        val = lpips(params, x, x)
+        np.testing.assert_allclose(np.asarray(val), 0.0, atol=1e-6)
+
+    def test_positive_and_monotone(self):
+        params = import_lpips_weights()
+        x = jax.random.normal(jax.random.key(0), (2, 3, 32, 32)) * 0.5
+        small = lpips(params, x, x + 0.01).mean()
+        big = lpips(params, x, x + 0.5).mean()
+        assert 0 < float(small) < float(big)
+
+    def test_as_perceptual_loss_in_vmae(self):
+        lfn = make_lpips_fn(import_lpips_weights())
+        consts = VMAEConsts(SPEC)
+        params = init_vmae_params(jax.random.key(0), SPEC)
+        tx = make_vmae_optimizer(params, 5, base_lr=1e-3)
+        step = jax.jit(
+            make_vmae_train_step(
+                SPEC, consts, tx, mask_ratio=0.25, perceptual_loss_fn=lfn
+            )
+        )
+        state = init_train_state(params, tx)
+        x = jax.random.normal(jax.random.key(1), (2, 3, 16, 16))
+        _, m = step(state, {"x": x}, jax.random.key(2))
+        assert float(m["p_loss"]) > 0
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
