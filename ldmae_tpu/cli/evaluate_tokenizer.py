@@ -1,0 +1,161 @@
+"""Tokenizer reconstruction evaluation + latent-noise robustness.
+
+CLI equivalent of /root/reference/LDMAE/evaluate_tokenizer.py: encodes the
+validation set through the tokenizer (posterior mode), optionally perturbs
+latents with ε·randn·latent_std (the robustness experiment,
+evaluate_tokenizer.py:166-167 / run_robustness_test.sh), decodes, writes
+reference + reconstruction PNGs, and reports rFID / PSNR / LPIPS / SSIM.
+
+Usage:
+    python -m ldmae_tpu.cli.evaluate_tokenizer --config <yaml> \
+        --data_path <val images> --output_path ./rfid --epsilon 0.0
+    # robustness sweep: --epsilon 0.01 0.05 0.1 0.2 0.3
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, batch=32, limit=None):
+    from ..data.images import ImageFolderDataset
+    from ..eval.fid import calculate_fid_given_paths
+    from ..eval.metrics import psnr, ssim
+    from ..models import vmae as vmae_mod
+    from ..models.lpips import load_lpips_params, lpips as lpips_fn
+    from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec
+    from ..ops.gaussian import diagonal_gaussian
+    from ..train import torch_import
+    from PIL import Image
+
+    model_type = config.vae.model_name
+    folder_name = f"{model_type}_{epsilon}"
+    ref_path = os.path.join(output_path, "reference")
+    save_dir = os.path.join(output_path, folder_name)
+    os.makedirs(ref_path, exist_ok=True)
+    os.makedirs(save_dir, exist_ok=True)
+
+    vspec = vmae_spec(
+        "mae_for_ldmae_f8d16_prev",
+        img_size=config.data.image_size,
+        ldmae_mode=True, no_cls=True, kl_loss_weight=True, smooth_output=True,
+    )
+    consts = VMAEConsts(vspec)
+    wp = config.vae.weight_path
+    if wp and os.path.exists(wp):
+        params = torch_import.import_vmae_checkpoint(wp, vspec)
+    else:
+        params = init_vmae_params(jax.random.key(0), vspec)
+        print("WARNING: random tokenizer weights")
+
+    lpips_params = load_lpips_params()
+
+    @jax.jit
+    def roundtrip(imgs, key):
+        moments = vmae_mod.ldmae_encode_moments(
+            params, vspec, consts, imgs, compute_dtype=jnp.bfloat16
+        )
+        latents = diagonal_gaussian(moments, axis=1).mode()
+        if epsilon > 0:
+            # per-channel latent std computed on this batch (the reference
+            # loads latents_stats.pt; batchwise std is the streaming version)
+            latent_std = jnp.std(latents, axis=(0, 2, 3), keepdims=True)
+            latents = latents + epsilon * jax.random.normal(key, latents.shape) * latent_std
+        decoded = vmae_mod.decode(
+            params, vspec, consts, latents, compute_dtype=jnp.bfloat16
+        )
+        l = lpips_fn(lpips_params, decoded, imgs).mean()
+        s = ssim(decoded, imgs, data_range=2.0)
+        u8 = jnp.clip(127.5 * decoded + 128.0, 0, 255).transpose(0, 2, 3, 1).astype(jnp.uint8)
+        return u8, l, s
+
+    ds = ImageFolderDataset(data_path, config.data.image_size)
+    n_total = len(ds) if limit is None else min(limit, len(ds))
+    print(f"evaluating tokenizer on {n_total} images (epsilon={epsilon})")
+
+    lpips_vals, ssim_vals = [], []
+    idx = 0
+    pool = ThreadPoolExecutor(8)
+
+    def save_png(arr, path):
+        Image.fromarray(arr).save(path)
+
+    key = jax.random.key(seed)
+    for imgs, labels, _ in ds.iter_batches(batch):
+        if idx >= n_total:
+            break
+        key, sub = jax.random.split(key)
+        u8, l, s = roundtrip(jnp.asarray(imgs), sub)
+        u8 = np.asarray(u8)
+        lpips_vals.append(float(l))
+        ssim_vals.append(float(s))
+        ref_u8 = np.clip(127.5 * imgs + 128.0, 0, 255).transpose(0, 2, 3, 1).astype(np.uint8)
+        for i in range(len(u8)):
+            pool.submit(save_png, ref_u8[i], os.path.join(ref_path, f"ref_{idx + i:06d}.png"))
+            pool.submit(save_png, u8[i], os.path.join(save_dir, f"decoded_image_{idx + i:06d}.png"))
+        idx += len(u8)
+    pool.shutdown(wait=True)
+
+    # rFID + PSNR on the folders (evaluate_tokenizer.py:194-209)
+    fid = calculate_fid_given_paths([ref_path, save_dir])
+    psnr_vals = []
+    refs = sorted(os.listdir(ref_path))
+    procs = sorted(os.listdir(save_dir))
+
+    def pair_psnr(a, b):
+        ia = np.asarray(Image.open(os.path.join(ref_path, a)).convert("RGB"), np.float32)
+        ib = np.asarray(Image.open(os.path.join(save_dir, b)).convert("RGB"), np.float32)
+        return float(psnr(jnp.asarray(ia), jnp.asarray(ib)))
+
+    with ThreadPoolExecutor(16) as p2:
+        psnr_vals = list(p2.map(lambda ab: pair_psnr(*ab), zip(refs, procs)))
+
+    report = {
+        "rfid": fid,
+        "psnr": float(np.mean(psnr_vals)),
+        "lpips": float(np.mean(lpips_vals)),
+        "ssim": float(np.mean(ssim_vals)),
+        "epsilon": epsilon,
+    }
+    print("Final Metrics:")
+    for k, v in report.items():
+        print(f"  {k}: {v:.4f}" if isinstance(v, float) else f"  {k}: {v}")
+    return report
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--data_path", required=True)
+    parser.add_argument("--output_path", default="./rfid")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument(
+        "--epsilon", type=float, nargs="+", default=[0.0],
+        help="latent-noise robustness sweep (run_robustness_test.sh uses "
+        "0 .01 .05 .1 .2 .3)",
+    )
+    args = parser.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from ..core.config import LDMAEConfig
+
+    config = LDMAEConfig.from_yaml(args.config)
+    for eps in args.epsilon:
+        evaluate_tokenizer(
+            config, args.data_path, args.output_path, epsilon=eps,
+            seed=args.seed, batch=args.batch, limit=args.limit,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""VMAE tokenizer pretraining driver (3 stages).
+
+CLI equivalent of /root/reference/VMAE/main_pretrain.py + train_ae.sh:
+  * stage 1: masked pretrain at low res (train_ae.sh:26-46: bs 128/dev,
+    accum 2, 400 ep, blr 1e-4, mask 0.25, kl 1e-6, smooth_output, no_cls)
+  * stage 2 (pe_reset): in this framework a no-op beyond changing
+    --input_size — positional tables are recomputed constants at any
+    resolution (pe_reset.py is subsumed; see models/vmae.py docstring)
+  * stage 3: --tune_decoder --mask_ratio 0.0 at 256² (train_ae.sh:84-106)
+
+lr = blr · eff_batch/256 (main_pretrain.py:241-243); per-step fractional-
+epoch cosine schedule; JSON log lines appended to log.txt
+(main_pretrain.py:293-297). Checkpoints via Orbax every --save_epochs.
+
+Usage:
+    python -m ldmae_tpu.cli.train_vmae --model mae_for_ldmae_f8d16_prev \
+        --data_path /data/imagenet --input_size 256 --mask_ratio 0.25 \
+        --kl_loss_weight 1e-6 --smooth_output --no_cls
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("VMAE pretraining")
+    # reference flags (main_pretrain.py:38-93)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--accum_iter", type=int, default=1)
+    p.add_argument("--model", type=str, default="mae_for_ldmae_f8d16_prev")
+    p.add_argument("--input_size", type=int, default=256)
+    p.add_argument("--mask_ratio", type=float, default=0.75)
+    p.add_argument("--visible_loss_ratio", type=float, default=0.5)
+    p.add_argument("--norm_pix_loss", action="store_true")
+    p.add_argument("--no_cls", action="store_true")
+    p.add_argument("--kl_loss_weight", type=float, default=None)
+    p.add_argument("--fixed_std", type=float, default=None)
+    p.add_argument("--smooth_output", action="store_true")
+    p.add_argument("--pred_with_conv", action="store_true")
+    p.add_argument("--down_nonlinear", action="store_true")
+    p.add_argument("--perceptual_loss_ratio", type=float, default=1.0)
+    p.add_argument("--use_lpips", action="store_true")
+    p.add_argument("--tune_decoder", action="store_true")
+    p.add_argument("--fixed_lr", action="store_true")
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--blr", type=float, default=1e-4)
+    p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--warmup_epochs", type=int, default=40)
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="./output_dir")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--save_epochs", type=int, default=20)
+    p.add_argument("--steps_per_epoch", type=int, default=None,
+                   help="override for small datasets / smoke runs")
+    p.add_argument("--dp", type=int, default=-1)
+    return p
+
+
+def main(args):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from ..data.augment import train_augment
+    from ..data.images import ImageFolderDataset
+    from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec
+    from ..parallel import create_mesh, shard_batch
+    from ..train.state import init_train_state, restore_checkpoint, save_checkpoint
+    from ..train.train_vmae import make_vmae_optimizer, make_vmae_train_step
+    from ..train import torch_import
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    mesh = create_mesh(dp=args.dp)
+    n_dev = jax.device_count()
+
+    spec = vmae_spec(
+        args.model,
+        img_size=args.input_size,
+        no_cls=args.no_cls,
+        kl_loss_weight=args.kl_loss_weight,
+        fixed_std=args.fixed_std,
+        smooth_output=args.smooth_output,
+        pred_with_conv=args.pred_with_conv,
+        down_nonlinear=args.down_nonlinear,
+        norm_pix_loss=args.norm_pix_loss,
+        perceptual_loss_ratio=args.perceptual_loss_ratio,
+        ldmae_mode=args.tune_decoder,
+    )
+    consts = VMAEConsts(spec)
+    params = init_vmae_params(jax.random.key(args.seed), spec)
+
+    if args.resume:
+        if args.resume.endswith((".pth", ".pt")):
+            params = torch_import.import_vmae_checkpoint(args.resume, spec)
+            print(f"resumed weights from torch checkpoint {args.resume}")
+        # Orbax resume handled below via restore_checkpoint
+
+    eff_batch = args.batch_size * args.accum_iter * jax.process_count() * n_dev
+    lr = args.lr if args.lr is not None else args.blr * eff_batch / 256
+    print(f"actual lr: {lr:.2e}  effective batch size: {eff_batch}")
+
+    dataset = ImageFolderDataset(args.data_path, args.input_size)
+    per_step = args.batch_size * n_dev
+    steps_per_epoch = args.steps_per_epoch or max(len(dataset) // per_step, 1)
+
+    tx = make_vmae_optimizer(
+        params,
+        steps_per_epoch,
+        base_lr=lr,
+        min_lr=args.min_lr,
+        warmup_epochs=args.warmup_epochs,
+        total_epochs=args.epochs,
+        weight_decay=args.weight_decay,
+        fixed_lr=args.fixed_lr,
+        tune_decoder=args.tune_decoder,
+    )
+    perceptual = None
+    if args.use_lpips:
+        from ..models.lpips import load_lpips_params, make_lpips_fn
+
+        perceptual = make_lpips_fn(load_lpips_params())
+
+    step_fn = jax.jit(
+        make_vmae_train_step(
+            spec, consts, tx,
+            mask_ratio=args.mask_ratio,
+            visible_loss_ratio=args.visible_loss_ratio,
+            tune_decoder=args.tune_decoder,
+            perceptual_loss_fn=perceptual,
+            compute_dtype=jnp.bfloat16,
+        ),
+        donate_argnums=(0,),
+    )
+    state = init_train_state(params, tx)
+    restored = restore_checkpoint(args.output_dir, state)
+    if restored is not None and not args.resume:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+
+    rng = jax.random.key(args.seed + 1)
+    data_rng = np.random.default_rng(args.seed)
+    log_path = os.path.join(args.output_dir, "log.txt")
+
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, args.epochs):
+        meters = {k: 0.0 for k in ("loss", "vis_loss", "mask_loss", "kl_loss", "p_loss")}
+        t0 = time.time()
+        order = data_rng.permutation(len(dataset))
+        n_steps = 0
+        for s in range(steps_per_epoch):
+            idx = order[(s * per_step) % len(order):][:per_step]
+            if len(idx) < per_step:
+                idx = np.concatenate([idx, order[: per_step - len(idx)]])
+            imgs = np.stack(
+                [
+                    train_augment(
+                        __import__("PIL.Image", fromlist=["Image"]).open(dataset.samples[i][0]),
+                        data_rng,
+                        args.input_size,
+                    )
+                    for i in idx
+                ]
+            )
+            batch = shard_batch(mesh, {"x": jnp.asarray(imgs)})
+            state, metrics = step_fn(state, batch, rng)
+            for k in meters:
+                meters[k] += float(metrics[k])
+            n_steps += 1
+            if not bool(metrics["loss_finite"]):
+                print(f"WARNING: non-finite loss at step {int(state.step)} (update skipped)")
+
+        stats = {k: v / n_steps for k, v in meters.items()}
+        stats.update(epoch=epoch, time=time.time() - t0)
+        print(json.dumps({f"train_{k}": v for k, v in stats.items()}))
+        with open(log_path, "a") as f:
+            f.write(json.dumps({f"train_{k}": v for k, v in stats.items()}) + "\n")
+
+        if (epoch + 1) % args.save_epochs == 0 or epoch + 1 == args.epochs:
+            path = save_checkpoint(args.output_dir, state, config=vars(args))
+            print(f"saved checkpoint {path}")
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())
