@@ -180,12 +180,9 @@ class Sampler:
 
         atol/rtol accepted for interface parity; fixed-step methods ignore
         them (the reference's production path is euler/250 which is fixed).
+        dopri5 dispatches to the adaptive lax.while_loop solver
+        (ldmae_tpu.transport.adaptive).
         """
-        if sampling_method == "dopri5":
-            # adaptive not supported on the static-shape path; the reference
-            # default is overridden to euler by every shipped config.
-            sampling_method = "rk4"
-
         base_drift = self.drift
         if reverse:
             drift = lambda x, t, model, **kw: base_drift(
@@ -203,6 +200,21 @@ class Sampler:
             last_step_size=0.0,
         )
         t_grid = jnp.asarray(make_time_grid(t0, t1, num_steps, timestep_shift))
+
+        if sampling_method == "dopri5":
+            from .adaptive import dopri5
+
+            def sample_fn(x, model_fn, **model_kwargs):
+                def _drift(xc, t_scalar):
+                    t = jnp.full((xc.shape[0],), t_scalar, dtype=xc.dtype)
+                    return drift(xc, t, model_fn, **model_kwargs)
+
+                return dopri5(
+                    _drift, x, float(t_grid[0]), float(t_grid[-1]),
+                    rtol=rtol, atol=atol,
+                )
+
+            return sample_fn
 
         def sample_fn(x, model_fn, **model_kwargs):
             def _drift(xc, t_scalar):

@@ -1,0 +1,93 @@
+"""Round-trip: export params → torch state_dict → import → identical pytree,
+and forward equality after the round trip."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ldmae_tpu.models.lightningdit import DiTConsts, DiTSpec, dit_forward, init_dit_params
+from ldmae_tpu.models.vmae import VMAEConsts, VMAESpec, init_vmae_params, decode
+from ldmae_tpu.train.torch_export import (
+    export_dit_state_dict,
+    export_vmae_state_dict,
+    save_dit_torch_checkpoint,
+)
+from ldmae_tpu.train.torch_import import (
+    import_dit_state_dict,
+    import_dit_checkpoint,
+    import_vmae_state_dict,
+)
+
+
+def tree_allclose(a, b):
+    fa = jax.tree_util.tree_leaves_with_path(a)
+    fb = dict(jax.tree_util.tree_leaves_with_path(b))
+    # compare by path string since list vs tuple containers may differ
+    fb = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(b)}
+    for k, v in fa:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(fb[ks]), rtol=1e-6, atol=1e-7, err_msg=ks
+        )
+
+
+class TestDiTRoundTrip:
+    def test_export_import_identity(self):
+        spec = DiTSpec(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=5, use_qknorm=True, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        params = init_dit_params(jax.random.key(0), spec)
+        # randomise zero-init leaves so identity is meaningful
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.1 * jax.random.normal(jax.random.key(1), p.shape), params
+        )
+        sd = export_dit_state_dict(params, spec)
+        sd_np = {k: v.numpy() for k, v in sd.items()}
+        back = import_dit_state_dict(sd_np, spec)
+        tree_allclose(params, back)
+
+        consts = DiTConsts(spec)
+        x = jax.random.normal(jax.random.key(2), (2, 4, 8, 8))
+        t = jnp.array([0.2, 0.8])
+        y = jnp.array([0, 5])
+        out1 = dit_forward(params, spec, consts, x, t, y, compute_dtype=jnp.float32)
+        out2 = dit_forward(back, spec, consts, x, t, y, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+
+    def test_checkpoint_file_roundtrip(self, tmp_path):
+        spec = DiTSpec(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=5, use_swiglu=True, use_rmsnorm=True,
+        )
+        params = init_dit_params(jax.random.key(0), spec)
+        path = str(tmp_path / "0000001.pt")
+        save_dit_torch_checkpoint(path, params, params, spec, config={"a": 1})
+        back = import_dit_checkpoint(path, spec, key="ema")
+        tree_allclose(params, back)
+
+
+class TestVMAERoundTrip:
+    @pytest.mark.parametrize("smooth", [True, False])
+    def test_export_import_identity(self, smooth):
+        spec = VMAESpec(
+            img_size=16, patch_size=4, embed_dim=24, depth=2, num_heads=4,
+            decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+            latent_dim=4, no_cls=True, kl_loss_weight=1e-6, smooth_output=smooth,
+        )
+        params = init_vmae_params(jax.random.key(0), spec)
+        sd = export_vmae_state_dict(params, spec)
+        back = import_vmae_state_dict({k: v.numpy() for k, v in sd.items()}, spec)
+        tree_allclose(params, back)
+
+        consts = VMAEConsts(spec)
+        z = jax.random.normal(jax.random.key(1), (2, 4, 4, 4))
+        out1 = decode(params, spec, consts, z)
+        out2 = decode(back, spec, consts, z)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
