@@ -70,6 +70,19 @@ def main():
     logger.info(f"Experiment directory: {exp_dir}")
     logger.info(f"devices: {jax.device_count()} ({jax.devices()[0].platform})")
 
+    # TensorBoard: Loss/train scalars + config text (train_accum.py:62-66, 266)
+    writer = None
+    if jax.process_index() == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(exp_dir, "tensorboard"))
+            import yaml as _yaml
+
+            writer.add_text("config", _yaml.safe_dump(config.to_dict()))
+        except ImportError:
+            logger.info("tensorboard unavailable; scalar logs go to log.txt only")
+
     mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
     key = jax.random.key(config.train.global_seed)
     spec, consts, params, transport, tx, step_fn = build_from_config(config, key)
@@ -138,10 +151,13 @@ def main():
         if train_steps % config.train.log_every == 0:
             jax.block_until_ready(metrics["loss"])
             dt = time.time() - start
+            avg_loss = running_loss / log_steps
             logger.info(
-                f"(step={train_steps:07d}) Train Loss: {running_loss / log_steps:.4f}, "
+                f"(step={train_steps:07d}) Train Loss: {avg_loss:.4f}, "
                 f"Train Steps/Sec: {log_steps / dt:.2f}"
             )
+            if writer is not None:
+                writer.add_scalar("Loss/train", avg_loss, train_steps)
             running_loss, log_steps = 0.0, 0
             start = time.time()
 
@@ -149,6 +165,28 @@ def main():
             if jax.process_index() == 0:
                 path = save_checkpoint(exp_dir, state, config=config.to_dict())
                 logger.info(f"Saved checkpoint to {path}")
+            # validation loss at fixed t-range (train_accum.py:287-297; the
+            # reference references an undefined evaluate() — ours works)
+            if config.data.valid_path and os.path.isdir(config.data.valid_path):
+                from ..train.train_dit import evaluate_step
+
+                vds = ImgLatentDataset(
+                    config.data.valid_path,
+                    latent_norm=config.data.latent_norm,
+                    latent_multiplier=config.data.latent_multiplier,
+                    sample=config.data.sample,
+                )
+                vbatch = next(vds.iter_batches(micro, shuffle=False, epochs=1))
+                val_loss = float(
+                    evaluate_step(
+                        spec, consts, transport, state.params,
+                        {"x": jnp.asarray(vbatch["x"]), "y": jnp.asarray(vbatch["y"])},
+                        jax.random.key(0),
+                    )
+                )
+                logger.info(f"Validation Loss: {val_loss:.4f}")
+                if writer is not None:
+                    writer.add_scalar("Loss/validation", val_loss, train_steps)
 
     if jax.process_index() == 0:
         path = save_checkpoint(exp_dir, state, config=config.to_dict())
