@@ -37,37 +37,38 @@ def folder_name(config) -> str:
 
 
 class AsyncPngWriter:
-    """Threaded PNG writer (inference.py:32-38's save_images_async)."""
+    """Async PNG writer (inference.py:32-38's save_images_async): batches go
+    to the native C++ threaded encoder (ldmae_io.png_encode_batch) from a
+    single dispatcher thread, overlapping with device compute."""
 
     def __init__(self, out_dir: str, workers: int = 8):
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
-        self.q: "queue.Queue" = queue.Queue(maxsize=64)
-        self.threads = [threading.Thread(target=self._run, daemon=True) for _ in range(workers)]
-        for t in self.threads:
-            t.start()
+        self.workers = workers
+        self.q: "queue.Queue" = queue.Queue(maxsize=8)
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
 
     def _run(self):
-        from PIL import Image
+        from ..data.native_io import write_pngs
 
         while True:
             item = self.q.get()
             if item is None:
+                self.q.task_done()
                 break
-            arr, idx = item
-            Image.fromarray(arr).save(os.path.join(self.out_dir, f"{idx:06d}.png"))
+            images, indices = item
+            paths = [os.path.join(self.out_dir, f"{int(i):06d}.png") for i in indices]
+            write_pngs(images, paths, level=1, num_threads=self.workers)
             self.q.task_done()
 
     def submit(self, images: np.ndarray, indices):
-        for img, idx in zip(images, indices):
-            self.q.put((img, int(idx)))
+        self.q.put((np.ascontiguousarray(images), np.asarray(indices)))
 
     def close(self):
+        self.q.put(None)
         self.q.join()
-        for _ in self.threads:
-            self.q.put(None)
-        for t in self.threads:
-            t.join()
+        self.thread.join()
 
 
 def build_pipeline(config, ckpt_path=None, dit_params=None):
