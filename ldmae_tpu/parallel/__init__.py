@@ -1,3 +1,10 @@
+from .distributed import (
+    init_distributed_mode,
+    get_rank,
+    get_world_size,
+    is_main_process,
+    barrier,
+)
 from .mesh import (
     create_mesh,
     batch_spec,
@@ -10,6 +17,11 @@ from .mesh import (
 )
 
 __all__ = [
+    "init_distributed_mode",
+    "get_rank",
+    "get_world_size",
+    "is_main_process",
+    "barrier",
     "create_mesh",
     "batch_spec",
     "shard_batch",

@@ -1,0 +1,84 @@
+"""Multi-host initialisation.
+
+TPU-native replacement for the reference's process-group bootstrap
+(VMAE/util/misc.py:367-402 init_distributed_mode: env:// rendezvous via
+RANK/WORLD_SIZE, OMPI vars, or SLURM_PROCID, NCCL backend, 30-min timeout):
+on TPU pods ``jax.distributed.initialize()`` auto-discovers from the TPU
+metadata; for CPU/GPU clusters the same env conventions are honoured.
+
+Also provides the rank-gating helpers the reference scatters around
+(is_main_process/get_rank/get_world_size, misc.py:338-360) in jax terms.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def init_distributed_mode(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialise multi-host jax. No-op when single-process with no
+    distributed env present (the reference's local fallback,
+    extract_features.py:28-41)."""
+    if jax.process_count() > 1:
+        return  # already initialised
+
+    # explicit args win
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return
+
+    env = os.environ
+    if "RANK" in env and "WORLD_SIZE" in env and int(env["WORLD_SIZE"]) > 1:
+        addr = env.get("MASTER_ADDR", "127.0.0.1")
+        port = env.get("MASTER_PORT", "29500")
+        jax.distributed.initialize(
+            coordinator_address=f"{addr}:{port}",
+            num_processes=int(env["WORLD_SIZE"]),
+            process_id=int(env["RANK"]),
+        )
+    elif "SLURM_PROCID" in env and int(env.get("SLURM_NTASKS", "1")) > 1:
+        jax.distributed.initialize()  # jax reads SLURM vars itself
+    elif "OMPI_COMM_WORLD_SIZE" in env and int(env["OMPI_COMM_WORLD_SIZE"]) > 1:
+        addr = env.get("MASTER_ADDR", "127.0.0.1")
+        port = env.get("MASTER_PORT", "29500")
+        jax.distributed.initialize(
+            coordinator_address=f"{addr}:{port}",
+            num_processes=int(env["OMPI_COMM_WORLD_SIZE"]),
+            process_id=int(env["OMPI_COMM_WORLD_RANK"]),
+        )
+    elif env.get("LDMAE_MULTIHOST", "0") == "1":
+        # TPU pod: everything auto-discovered
+        jax.distributed.initialize()
+    # else: single process — nothing to do
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-process sync (the reference's dist.barrier)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
