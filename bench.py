@@ -77,7 +77,7 @@ def main(batch: int = 32, iters: int = 3, num_steps: int = 250):
         vae_spec=vspec,
         vae_consts=vconsts,
         compute_dtype=jnp.bfloat16,
-        attn_impl=os.environ.get("LDMAE_ATTN_IMPL", "xla"),
+        attn_impl=os.environ.get("LDMAE_ATTN_IMPL", "flash"),
     )
     sample_jit = jax.jit(sample_fn)
     bundle = {
