@@ -137,6 +137,8 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
         cfg_interval=True,
         cfg_interval_start=s.cfg_interval_start,
         cfg_channels=s.cfg_channels,
+        truncation=s.truncation_bound,
+        mode=s.mode,
         latent_multiplier=config.data.latent_multiplier,
         vae_spec=vspec,
         vae_consts=vconsts,

@@ -124,6 +124,14 @@ class SampleConfig:
     timestep_shift: float = 0.3
     # bug-compat with lightningdit.py:432 — guidance on first 3 channels only.
     cfg_channels: int = 3
+    # z truncation (inference.py:267-273); `trunaction` is the reference's
+    # misspelled config key, accepted as an alias.
+    truncation: Optional[float] = None
+    trunaction: Optional[float] = None
+
+    @property
+    def truncation_bound(self) -> Optional[float]:
+        return self.truncation if self.truncation is not None else self.trunaction
 
 
 @dataclass

@@ -37,6 +37,9 @@ def make_sample_fn(
     cfg_interval: bool = True,
     cfg_interval_start: float = 0.10,
     cfg_channels: int = 3,
+    truncation: Optional[float] = None,
+    mode: str = "ODE",
+    sde_last_step: Optional[str] = "Mean",
     latent_multiplier: float = 1.0,
     vae_spec: Optional[VMAESpec] = None,
     vae_consts: Optional[VMAEConsts] = None,
@@ -52,11 +55,20 @@ def make_sample_fn(
     with null label = num_classes (inference.py:277-282).
     """
     sampler = Sampler(transport)
-    ode_fn = sampler.sample_ode(
-        sampling_method=sampling_method,
-        num_steps=num_steps,
-        timestep_shift=timestep_shift,
-    )
+    if mode.upper() == "SDE":
+        sde_fn = sampler.sample_sde(
+            sampling_method=sampling_method.capitalize(),
+            num_steps=num_steps,
+            last_step=sde_last_step,
+        )
+        ode_fn = None
+    else:
+        ode_fn = sampler.sample_ode(
+            sampling_method=sampling_method,
+            num_steps=num_steps,
+            timestep_shift=timestep_shift,
+        )
+        sde_fn = None
     use_cfg = cfg_scale > 1.0
 
     def sample_fn(bundle: Dict[str, Any], key: jax.Array, y: jnp.ndarray) -> jnp.ndarray:
@@ -78,17 +90,32 @@ def make_sample_fn(
 
         b = y.shape[0]
         h = spec.input_size
-        z = jax.random.normal(
-            key, (b, spec.in_channels, h, h), dtype=jnp.float32
-        ).astype(compute_dtype)
+        k_z, k_sde = jax.random.split(key)
+        if truncation is not None:
+            # exact limiting law of the reference's resample-until-in-bounds
+            # loop (inference.py:267-273)
+            z = jax.random.truncated_normal(
+                k_z, -truncation, truncation,
+                (b, spec.in_channels, h, h), dtype=jnp.float32,
+            ).astype(compute_dtype)
+        else:
+            z = jax.random.normal(
+                k_z, (b, spec.in_channels, h, h), dtype=jnp.float32
+            ).astype(compute_dtype)
+
+        def integrate(z0, fn, y_arg):
+            if sde_fn is not None:
+                return sde_fn(k_sde, z0, fn, y=y_arg)
+            return ode_fn(z0, fn, y=y_arg)
+
         if use_cfg:
             z = jnp.concatenate([z, z], axis=0)
             y_null = jnp.full((b,), spec.num_classes, dtype=y.dtype)
             y_all = jnp.concatenate([y, y_null], axis=0)
-            samples = ode_fn(z, guided_fn, y=y_all)
+            samples = integrate(z, guided_fn, y_all)
             samples = samples[:b]
         else:
-            samples = ode_fn(z, model_fn, y=y)
+            samples = integrate(z, model_fn, y)
 
         samples = samples.astype(jnp.float32)
         if bundle.get("latent_std") is not None:
