@@ -235,3 +235,74 @@ class TestConvVAE:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestDiffusersImport:
+    def test_key_mapping_covers_structure(self):
+        """Synthesise a diffusers-named state dict with the right shapes and
+        verify the mapped params load and run."""
+        from ldmae_tpu.models.sdvae_import import diffusers_to_ldm_state_dict
+        spec = cv.ConvVAESpec(
+            ch=8, ch_mult=(1, 2), num_res_blocks=1,
+            attn_resolutions=(), decoder_attn_resolutions=(),
+            resolution=16, z_channels=4, embed_dim=4, num_groups=4,
+            use_quant_conv=False, use_post_quant_conv=False,
+        )
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def conv(name, cout, cin, k):
+            sd[f"{name}.weight"] = rng.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.1
+            sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+        def gn(name, c):
+            sd[f"{name}.weight"] = np.ones(c, np.float32)
+            sd[f"{name}.bias"] = np.zeros(c, np.float32)
+
+        def resnet(pre, cin, cout):
+            gn(f"{pre}.norm1", cin); conv(f"{pre}.conv1", cout, cin, 3)
+            gn(f"{pre}.norm2", cout); conv(f"{pre}.conv2", cout, cout, 3)
+            if cin != cout:
+                conv(f"{pre}.conv_shortcut", cout, cin, 1)
+
+        def attn(pre, c):
+            gn(f"{pre}.group_norm", c)
+            for n in ("to_q", "to_k", "to_v"):
+                sd[f"{pre}.{n}.weight"] = rng.standard_normal((c, c)).astype(np.float32) * 0.1
+                sd[f"{pre}.{n}.bias"] = np.zeros(c, np.float32)
+            sd[f"{pre}.to_out.0.weight"] = rng.standard_normal((c, c)).astype(np.float32) * 0.1
+            sd[f"{pre}.to_out.0.bias"] = np.zeros(c, np.float32)
+
+        conv("encoder.conv_in", 8, 3, 3)
+        resnet("encoder.down_blocks.0.resnets.0", 8, 8)
+        conv("encoder.down_blocks.0.downsamplers.0.conv", 8, 8, 3)
+        resnet("encoder.down_blocks.1.resnets.0", 8, 16)
+        resnet("encoder.mid_block.resnets.0", 16, 16)
+        attn("encoder.mid_block.attentions.0", 16)
+        resnet("encoder.mid_block.resnets.1", 16, 16)
+        gn("encoder.conv_norm_out", 16)
+        conv("encoder.conv_out", 8, 16, 3)
+
+        conv("decoder.conv_in", 16, 4, 3)
+        resnet("decoder.mid_block.resnets.0", 16, 16)
+        attn("decoder.mid_block.attentions.0", 16)
+        resnet("decoder.mid_block.resnets.1", 16, 16)
+        # up_blocks: j=0 is the lowest res (LDM level 1)
+        resnet("decoder.up_blocks.0.resnets.0", 16, 16)
+        resnet("decoder.up_blocks.0.resnets.1", 16, 16)
+        conv("decoder.up_blocks.0.upsamplers.0.conv", 16, 16, 3)
+        resnet("decoder.up_blocks.1.resnets.0", 16, 8)
+        resnet("decoder.up_blocks.1.resnets.1", 8, 8)
+        gn("decoder.conv_norm_out", 8)
+        conv("decoder.conv_out", 3, 8, 3)
+
+        ldm = diffusers_to_ldm_state_dict(sd, spec)
+        params = cv.import_conv_vae_state_dict(ldm, spec)
+        x = jax.random.normal(jax.random.key(0), (1, 3, 16, 16))
+        post = cv.encode(params, spec, x)
+        assert post.mean.shape == (1, 4, 8, 8)
+        img = cv.decode(params, spec, post.mode())
+        assert img.shape == (1, 3, 16, 16)
+        assert np.all(np.isfinite(np.asarray(img)))
+        # q/k/v linear->conv reshape happened
+        assert params["encoder"]["mid"]["attn_1"]["q"]["w"].shape == (16, 16, 1, 1)
