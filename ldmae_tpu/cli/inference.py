@@ -215,6 +215,7 @@ def main():
     parser.add_argument("--config", required=True)
     parser.add_argument("--demo", action="store_true")
     parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--skip_fid", action="store_true")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
@@ -225,7 +226,23 @@ def main():
     config = LDMAEConfig.from_yaml(args.config)
     if args.ckpt:
         config.ckpt_path = args.ckpt
-    do_sample(config, demo=args.demo)
+    out_dir = do_sample(config, demo=args.demo)
+
+    # FID vs the reference stats after sampling (inference.py:352-368)
+    ref = config.data.fid_reference_file
+    if (
+        not args.demo
+        and not args.skip_fid
+        and jax.process_index() == 0
+        and ref
+        and os.path.exists(ref)
+    ):
+        from ..eval.fid import calculate_fid_given_paths
+
+        fid = calculate_fid_given_paths(
+            [ref, out_dir], sp_len=config.sample.fid_num
+        )
+        print(f"FID: {fid:.6f}")
 
 
 if __name__ == "__main__":
