@@ -191,11 +191,21 @@ class Evaluator:
 
     def read_activations(self, npz_or_dir: str) -> Tuple[np.ndarray, np.ndarray]:
         """Read an arr_0 npz (save_npz.py output) or an image folder and
-        stream it through Inception."""
+        stream it through Inception. Computed activations are cached back
+        into the npz under arr_1/arr_2 and reused (evaluator.py:46-67)."""
         if npz_or_dir.endswith(".npz"):
             with np.load(npz_or_dir) as f:
-                images = f["arr_0"]
-            return self.compute_activations(images)
+                if "arr_1" in f.files and "arr_2" in f.files:
+                    return f["arr_1"][:], f["arr_2"][:]
+                arrays = {k: f[k][:] for k in f.files}
+            acts = self.compute_activations(arrays["arr_0"])
+            try:
+                np.savez(
+                    npz_or_dir, **arrays, arr_1=acts[0], arr_2=acts[1]
+                )
+            except OSError:
+                pass  # read-only location; skip caching
+            return acts
         from .fid import get_folder_files
 
         files = get_folder_files(npz_or_dir)

@@ -53,6 +53,34 @@ def build_rope_table(
     return np.cos(full).astype(np.float32), np.sin(full).astype(np.float32)
 
 
+def build_rope_table_2d(
+    half_head_dim: int,
+    pt_seq_len: int,
+    ft_seq_len: int | None = None,
+    theta: float = 10000.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The non-fast ``VisionRotaryEmbedding`` variant
+    (/root/reference/LDMAE/models/pos_embed.py:46-92): cos/sin kept on the
+    2-D grid (S, S, head_dim) for partial-dim rotation via start_index.
+    Unused by the production model; provided for API completeness."""
+    cos, sin = build_rope_table(half_head_dim, pt_seq_len, ft_seq_len, theta)
+    s = ft_seq_len or pt_seq_len
+    return cos.reshape(s, s, -1), sin.reshape(s, s, -1)
+
+
+def apply_rope_partial(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, start_index: int = 0
+) -> jnp.ndarray:
+    """Rotate only channels [start_index, start_index+rot_dim) like
+    VisionRotaryEmbedding.forward (pos_embed.py:86-92)."""
+    rot_dim = cos.shape[-1]
+    left = x[..., :start_index]
+    mid = x[..., start_index : start_index + rot_dim]
+    right = x[..., start_index + rot_dim :]
+    mid = apply_rope(mid, cos.reshape(-1, rot_dim), sin.reshape(-1, rot_dim))
+    return jnp.concatenate([left, mid, right], axis=-1)
+
+
 def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     """Interleaved-pair rotation: (x0,x1,x2,x3,...) -> (-x1,x0,-x3,x2,...)."""
     shape = x.shape

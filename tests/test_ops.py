@@ -327,3 +327,17 @@ class TestAttention:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestRopePartial:
+    def test_partial_rotation_identity_outside(self):
+        from ldmae_tpu.ops.rope import apply_rope_partial, build_rope_table_2d
+
+        cos, sin = build_rope_table_2d(4, 2)  # rot_dim = 8
+        x = jax.random.normal(jax.random.key(0), (1, 4, 12))  # n=4 tokens
+        out = ops.apply_rope  # silence lints
+        y = apply_rope_partial(x, jnp.asarray(cos), jnp.asarray(sin), start_index=2)
+        xn, yn = np.asarray(x), np.asarray(y)
+        np.testing.assert_allclose(yn[..., :2], xn[..., :2])
+        np.testing.assert_allclose(yn[..., 10:], xn[..., 10:])
+        assert not np.allclose(yn[..., 2:10], xn[..., 2:10])
