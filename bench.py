@@ -47,6 +47,11 @@ def main(batch: int = 32, iters: int = 3, num_steps: int = 250):
     )
     consts = DiTConsts(spec)
     params = init_dit_params(jax.random.key(0), spec)
+    # one-time q/k channel permutation -> cheap half-split RoPE (identical
+    # attention; see ops/rope.py)
+    from ldmae_tpu.models.lightningdit import permute_qk_for_half_rope
+
+    params = permute_qk_for_half_rope(params, spec)
 
     vspec = vmae_spec(
         "mae_for_ldmae_f8d16_prev",
@@ -78,6 +83,7 @@ def main(batch: int = 32, iters: int = 3, num_steps: int = 250):
         vae_consts=vconsts,
         compute_dtype=jnp.bfloat16,
         attn_impl=os.environ.get("LDMAE_ATTN_IMPL", "flash"),
+        rope_layout="half",
     )
     sample_jit = jax.jit(sample_fn)
     bundle = {

@@ -15,3 +15,12 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("LDMAE_PLATFORM"):
+    # Force a jax platform (e.g. "cpu" for tests/tools) even when a site
+    # customisation pre-set jax_platforms (the axon TPU tunnel does).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["LDMAE_PLATFORM"])

@@ -127,6 +127,9 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
         except FileNotFoundError:
             pass
 
+    from ..models.lightningdit import permute_qk_for_half_rope
+
+    params = permute_qk_for_half_rope(params, spec)
     s = config.sample
     sample_fn = make_sample_fn(
         spec, consts, transport,
@@ -144,6 +147,7 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
         vae_consts=vconsts,
         compute_dtype=jnp.bfloat16,
         attn_impl=config.parallel.attention_impl,
+        rope_layout="half",
     )
     bundle = {
         "dit": params,

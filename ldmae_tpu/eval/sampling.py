@@ -45,6 +45,7 @@ def make_sample_fn(
     vae_consts: Optional[VMAEConsts] = None,
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "xla",
+    rope_layout: str = "interleaved",
 ) -> Callable[..., jnp.ndarray]:
     """Build sample_fn(bundle, key, y) -> uint8 images (B, H, W, 3) when a
     VAE is configured, else denormalised latents (B, C, h, w).
@@ -78,6 +79,7 @@ def make_sample_fn(
             return dit_forward(
                 dit_params, spec, consts, x, t, y,
                 train=False, compute_dtype=compute_dtype, attn_impl=attn_impl,
+                rope_layout=rope_layout,
             ).astype(x.dtype)
 
         def guided_fn(x, t, y):

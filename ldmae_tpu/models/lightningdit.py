@@ -101,10 +101,17 @@ class DiTConsts:
         )
         self.t_freqs = jnp.asarray(timestep_embedding_freqs(spec.freq_embed_size))
         if spec.use_rope:
+            from ..ops.rope import to_half_layout
+
             cos, sin = build_rope_table(spec.head_dim // 2, grid)
             self.rope = (jnp.asarray(cos), jnp.asarray(sin))
+            self.rope_half = (
+                jnp.asarray(to_half_layout(cos)),
+                jnp.asarray(to_half_layout(sin)),
+            )
         else:
             self.rope = None
+            self.rope_half = None
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +215,61 @@ def init_dit_params(key: jax.Array, spec: DiTSpec) -> Params:
     return params
 
 
+def permute_qk_for_half_rope(params: Params, spec: DiTSpec) -> Params:
+    """Permute q/k head-dim channels (weights, biases, qk-norm scales) from
+    EVA-interleaved to half-split so apply_rope_half computes the identical
+    attention (logits are permutation-invariant). One-time transform for
+    inference/bench; invert with the same function's inverse permutation
+    before export."""
+    import numpy as _np
+
+    from ..ops.rope import rope_channel_permutation
+
+    if not spec.use_rope:
+        return params
+    hd = spec.head_dim
+    nh = spec.num_heads
+    d = spec.hidden_size
+    perm = rope_channel_permutation(hd)
+
+    perm = jnp.asarray(perm)
+
+    def permute_w(w):
+        # (L, D, 3, D): last dim = (H, hd); permute hd for q (idx 0), k (1)
+        l = w.shape[0]
+        w = w.reshape(l, d, 3, nh, hd)
+        w = w.at[:, :, 0].set(jnp.take(w[:, :, 0], perm, axis=-1))
+        w = w.at[:, :, 1].set(jnp.take(w[:, :, 1], perm, axis=-1))
+        return w.reshape(l, d, 3, d)
+
+    def permute_b(b):
+        l = b.shape[0]
+        b = b.reshape(l, 3, nh, hd)
+        b = b.at[:, 0].set(jnp.take(b[:, 0], perm, axis=-1))
+        b = b.at[:, 1].set(jnp.take(b[:, 1], perm, axis=-1))
+        return b.reshape(l, 3, d)
+
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+    attn = dict(out["blocks"]["attn"])
+    qkv = dict(attn["qkv"])
+    qkv["w"] = permute_w(qkv["w"])
+    if "b" in qkv:
+        qkv["b"] = permute_b(qkv["b"])
+    attn["qkv"] = qkv
+    for nk in ("q_norm", "k_norm"):
+        if nk in attn:
+            node = dict(attn[nk])
+            node["scale"] = node["scale"][:, perm]
+            if "bias" in node:
+                node["bias"] = node["bias"][:, perm]
+            attn[nk] = node
+    blocks = dict(out["blocks"])
+    blocks["attn"] = attn
+    out = dict(out)
+    out["blocks"] = blocks
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -237,6 +299,7 @@ def _block(
     spec: DiTSpec,
     rope,
     attn_impl: str,
+    rope_layout: str = "interleaved",
 ) -> jnp.ndarray:
     """One LightningDiT block (lightningdit.py:239-250).
 
@@ -261,6 +324,7 @@ def _block(
         bp["attn"],
         spec.num_heads,
         rope=rope,
+        rope_layout=rope_layout,
         qk_norm_kind="rms" if spec.use_rmsnorm else "layer",
         impl=attn_impl,
     )
@@ -288,8 +352,12 @@ def dit_forward(
     force_drop_ids: Optional[jnp.ndarray] = None,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     attn_impl: str = "xla",
+    rope_layout: str = "interleaved",
 ) -> jnp.ndarray:
     """Forward pass. x: (N, C, H, W) NCHW latents; t, y: (N,).
+
+    rope_layout='half' requires params transformed by
+    permute_qk_for_half_rope (exact same function, faster rope on TPU).
 
     Returns (N, out_channels or in_channels, H, W) in float32.
     """
@@ -325,8 +393,13 @@ def dit_forward(
     c = t_emb + y_emb
     c_mod = jax.nn.silu(c)
 
+    rope_tables = (
+        consts.rope_half if (rope_layout == "half" and consts.rope is not None)
+        else consts.rope
+    )
     block_fn = partial(
-        _block, spec=spec, rope=consts.rope, attn_impl=attn_impl
+        _block, spec=spec, rope=rope_tables, attn_impl=attn_impl,
+        rope_layout=rope_layout,
     )
     if spec.use_checkpoint:
         block_fn = jax.checkpoint(block_fn)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .norms import layer_norm, rms_norm
-from .rope import apply_rope
+from .rope import apply_rope, apply_rope_half
 
 Params = Dict[str, Any]
 
@@ -75,6 +75,7 @@ def multi_head_attention(
     num_heads: int,
     *,
     rope: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    rope_layout: str = "interleaved",
     qk_norm_kind: str = "rms",
     impl: str = "xla",
 ) -> jnp.ndarray:
@@ -92,6 +93,21 @@ def multi_head_attention(
     if bias is not None:
         qkv = qkv + bias.reshape(3 * d).astype(jnp.float32)
     qkv = qkv.astype(dtype).reshape(b, n, 3, num_heads, hd)
+
+    if rope is not None and rope_layout == "half" and impl == "flash":
+        # transpose-free fused path: stay in (B, N, H, hd); heads become a
+        # kernel grid axis, rope applied in-kernel on VMEM-resident q/k.
+        from .flash_attention import flash_attention_fused_rope
+
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = _apply_head_norm(q, p.get("q_norm"), qk_norm_kind)
+        k = _apply_head_norm(k, p.get("k_norm"), qk_norm_kind)
+        cos, sin = rope
+        out = flash_attention_fused_rope(q, k, v, cos, sin).reshape(b, n, d)
+        from .linear import dense
+
+        return dense(out, p["proj"], compute_dtype=dtype)
+
     q, k, v = (
         qkv[:, :, 0].transpose(0, 2, 1, 3),
         qkv[:, :, 1].transpose(0, 2, 1, 3),
@@ -103,8 +119,9 @@ def multi_head_attention(
 
     if rope is not None:
         cos, sin = rope
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        rope_fn = apply_rope_half if rope_layout == "half" else apply_rope
+        q = rope_fn(q, cos, sin)
+        k = rope_fn(k, cos, sin)
 
     out = sdpa(q, k, v, impl=impl)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)

@@ -119,6 +119,83 @@ def _flash_bwd_rule(res, g):
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Fused transpose-free path: (B, N, H, hd) layout with half-split RoPE
+# applied inside the kernel.
+#
+# Avoids the (B,N,H,hd) <-> (B,H,N,hd) HBM shuffles around attention (the
+# layout produced by the packed qkv projection is used directly; the head
+# axis is a grid dimension) and folds the RoPE elementwise work onto data
+# already resident in VMEM. Requires half-split rope tables/params
+# (ops/rope.py to_half_layout + models/lightningdit.permute_qk_for_half_rope).
+# ---------------------------------------------------------------------------
+
+
+def _flash_rope_kernel(
+    q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref,
+    *, scale: float,
+):
+    q = q_ref[0, :, 0, :]  # (bq, hd)
+    k = k_ref[0, :, 0, :]  # (N, hd)
+    v = v_ref[0, :, 0, :]  # (N, hd)
+    hd = q.shape[-1]
+    half = hd // 2
+
+    def rope(x, cos, sin):
+        xc = x.astype(jnp.float32)
+        rot = jnp.concatenate([-xc[:, half:], xc[:, :half]], axis=-1)
+        return (xc * cos + rot * sin).astype(x.dtype)
+
+    q = rope(q, cosq_ref[:, :], sinq_ref[:, :])
+    k = rope(k, cosk_ref[:, :], sink_ref[:, :])
+
+    logits = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+def flash_attention_fused_rope(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+) -> jnp.ndarray:
+    """q, k, v: (B, N, H, hd); cos/sin: (N, hd) HALF-SPLIT tables.
+    Returns (B, N, H, hd). Forward-only (sampling path)."""
+    b, n, h, hd = q.shape
+    scale = hd**-0.5
+    bq = _pick_block_q(n)
+
+    qspec = pl.BlockSpec((1, bq, 1, hd), lambda bi, hi, j: (bi, j, hi, 0), memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, n, 1, hd), lambda bi, hi, j: (bi, 0, hi, 0), memory_space=pltpu.VMEM)
+    tq = pl.BlockSpec((bq, hd), lambda bi, hi, j: (j, 0), memory_space=pltpu.VMEM)
+    tk = pl.BlockSpec((n, hd), lambda bi, hi, j: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_flash_rope_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, n, h, hd), q.dtype),
+        grid=(b, h, n // bq),
+        in_specs=[qspec, kvspec, kvspec, tq, tq, tk, tk],
+        out_specs=qspec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * hd,
+            bytes_accessed=4 * b * h * n * hd * q.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+    )(q, k, v, cos.astype(jnp.float32), sin.astype(jnp.float32),
+      cos.astype(jnp.float32), sin.astype(jnp.float32))
+
+
 def builtin_flash_attention(q, k, v):
     """jax's shipped TPU flash-attention kernel (for cross-checks/perf A-B)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (

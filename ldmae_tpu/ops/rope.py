@@ -100,3 +100,39 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     cos = cos.astype(x.dtype)
     sin = sin.astype(x.dtype)
     return x * cos + rotate_half(x) * sin
+
+
+# ---------------------------------------------------------------------------
+# Half-split (Llama-layout) fast path.
+#
+# Attention logits are invariant under any shared channel permutation of q
+# and k, so permuting the q/k head-dim channels from EVA's interleaved pair
+# layout [a0,b0,a1,b1,...] to half-split [a0,a1,...,b0,b1,...] — applied ONCE
+# to the qkv weight columns (and qk-norm scales) — turns rotate_half's
+# stride-2 shuffles into two contiguous slices. ~20% of the whole DiT forward
+# on v5e came from the interleaved shuffles (see perf_ablate.py).
+# ---------------------------------------------------------------------------
+
+
+def rope_channel_permutation(head_dim: int) -> np.ndarray:
+    """perm such that x_half[i] = x_interleaved[perm[i]]."""
+    return np.concatenate(
+        [np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)]
+    )
+
+
+def to_half_layout(table: np.ndarray) -> np.ndarray:
+    """Permute a (N, head_dim) cos/sin table to half-split layout."""
+    return table[:, rope_channel_permutation(table.shape[-1])]
+
+
+def rotate_half_split(x: jnp.ndarray) -> jnp.ndarray:
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """apply_rope for half-split-permuted channels/tables."""
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    return x * cos + rotate_half_split(x) * sin

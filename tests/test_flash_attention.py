@@ -86,3 +86,40 @@ class TestFlashAttention:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestFusedRope:
+    def test_fused_matches_separate(self):
+        """(B,N,H,hd) fused rope kernel == transpose + apply_rope_half + sdpa."""
+        from unittest import mock
+        from ldmae_tpu.ops import flash_attention as fa
+        from ldmae_tpu.ops.rope import apply_rope_half, build_rope_table, to_half_layout
+
+        b, n, h, hd = 2, 64, 3, 32
+        q, k, v = (
+            jax.random.normal(jax.random.key(i), (b, n, h, hd), jnp.float32)
+            for i in range(3)
+        )
+        cos, sin = build_rope_table(hd // 2, 8)
+        cos_h, sin_h = to_half_layout(cos), to_half_layout(sin)
+
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        qr = apply_rope_half(qt, jnp.asarray(cos_h), jnp.asarray(sin_h))
+        kr = apply_rope_half(kt, jnp.asarray(cos_h), jnp.asarray(sin_h))
+        ref = sdpa(qr, kr, vt, impl="xla").transpose(0, 2, 1, 3)
+
+        orig = fa.pl.pallas_call
+
+        def patched(*args, **kwargs):
+            kwargs["interpret"] = True
+            return orig(*args, **kwargs)
+
+        with mock.patch.object(fa.pl, "pallas_call", patched):
+            out = fa.flash_attention_fused_rope(
+                q, k, v, jnp.asarray(cos_h), jnp.asarray(sin_h)
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )

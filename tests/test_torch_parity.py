@@ -373,3 +373,34 @@ class TestVMAEParity:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestHalfRopeLayout:
+    def test_half_layout_matches_interleaved(self):
+        """Permuted params + half-split rope == canonical params +
+        interleaved rope (same attention, faster layout)."""
+        from ldmae_tpu.models.lightningdit import (
+            init_dit_params, permute_qk_for_half_rope,
+        )
+
+        spec = DiTSpec(
+            input_size=8, patch_size=1, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=10, use_qknorm=True, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        params = init_dit_params(jax.random.key(0), spec)
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.1 * jax.random.normal(jax.random.key(1), p.shape), params
+        )
+        consts = DiTConsts(spec)
+        x = jax.random.normal(jax.random.key(2), (2, 4, 8, 8))
+        t = jnp.array([0.3, 0.7])
+        y = jnp.array([1, 2])
+        ref = dit_forward(params, spec, consts, x, t, y, compute_dtype=jnp.float32)
+        fast = dit_forward(
+            permute_qk_for_half_rope(params, spec), spec, consts, x, t, y,
+            compute_dtype=jnp.float32, rope_layout="half",
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
