@@ -29,7 +29,9 @@ def init_train_state(params: Any, tx: optax.GradientTransformation) -> TrainStat
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        ema_params=jax.tree_util.tree_map(lambda x: x, params),
+        # real copy, not an alias — donated train steps must not see the
+        # same buffer twice (params and ema share storage otherwise)
+        ema_params=jax.tree_util.tree_map(jnp.array, params),
         opt_state=tx.init(params),
     )
 

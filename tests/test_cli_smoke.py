@@ -12,7 +12,7 @@ from PIL import Image
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(
     os.environ,
-    JAX_PLATFORMS="cpu",
+    LDMAE_PLATFORM="cpu",
     XLA_FLAGS="--xla_force_host_platform_device_count=2",
     PYTHONPATH=REPO,
 )
@@ -50,11 +50,7 @@ class TestTrainVMAECLI:
             "--no_cls", "--smooth_output",
             "--kl_loss_weight", "1e-6",
         ]
-        # jax_platforms override comes from sitecustomize; force through env +
-        # a -c wrapper is overkill — the CLI honours JAX_PLATFORMS=cpu only if
-        # axon doesn't override, so set via jax config through env var here:
         env = dict(ENV)
-        env["JAX_PLATFORMS"] = "cpu"
         r = subprocess.run(
             cmd, env=env, cwd=REPO, capture_output=True, text=True, timeout=900
         )
