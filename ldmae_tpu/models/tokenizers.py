@@ -1,0 +1,175 @@
+"""Tokenizer wrapper classes — the reference's user-facing VAE API.
+
+Mirrors the interface of /root/reference/LDMAE/tokenizer/{vavae,marvae,sdvae}.py
+and the VMAE docking functions: each wrapper exposes
+``img_transform(p_hflip, img_size)``, ``encode_images(images)`` and
+``decode_to_images(z)`` so code written against the reference tokenizers
+ports directly.
+
+``images`` are (N, 3, H, W) float arrays in [-1, 1] (the output of
+img_transform); latents are NCHW; decoded images uint8 HWC.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class _Base:
+    latent_dim: int
+
+    def img_transform(self, p_hflip: float = 0, img_size: Optional[int] = None) -> Callable:
+        """Returns fn(PIL) -> (3, S, S) float32 in [-1, 1] (ADM center-crop +
+        random flip + Normalize(0.5, 0.5))."""
+        from ..data.images import load_image as _load
+        from ..data.images import center_crop_arr
+        from PIL import Image
+
+        size = img_size or self.img_size
+        rng = np.random.default_rng(0)
+
+        def tf(pil_image: Image.Image) -> np.ndarray:
+            img = center_crop_arr(pil_image, size)
+            if p_hflip > 0 and rng.uniform() < p_hflip:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+            return ((arr - 0.5) / 0.5).transpose(2, 0, 1)
+
+        return tf
+
+
+class VMAE_Tokenizer(_Base):
+    """The production VMAE f8d16 tokenizer (models_mae.py docking API)."""
+
+    def __init__(
+        self,
+        weight_path: Optional[str] = None,
+        img_size: int = 256,
+        arch: str = "mae_for_ldmae_f8d16_prev",
+    ):
+        from . import vmae as vmae_mod
+        from .vmae import VMAEConsts, init_vmae_params, vmae_spec
+        from ..train import torch_import
+
+        self.img_size = img_size
+        self.spec = vmae_spec(
+            arch, img_size=img_size, ldmae_mode=True, no_cls=True,
+            kl_loss_weight=True, smooth_output=True,
+        )
+        self.consts = VMAEConsts(self.spec)
+        if weight_path and os.path.exists(weight_path):
+            self.params = torch_import.import_vmae_checkpoint(weight_path, self.spec)
+        else:
+            self.params = init_vmae_params(jax.random.key(0), self.spec)
+        self.latent_dim = self.spec.latent_dim
+        self._vm = vmae_mod
+
+        self._encode = jax.jit(
+            lambda imgs, key: self._vm.encode(
+                self.params, self.spec, self.consts, imgs, compute_dtype=jnp.bfloat16
+            ).sample(key)
+        )
+        self._decode = jax.jit(
+            lambda z: self._vm.decode_to_images(
+                self.params, self.spec, self.consts, z, compute_dtype=jnp.bfloat16
+            )
+        )
+
+    def encode_images(self, images, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """posterior.sample() like models_mae.py:989-998."""
+        key = key if key is not None else jax.random.key(0)
+        return self._encode(jnp.asarray(images), key)
+
+    def decode_to_images(self, z) -> np.ndarray:
+        return np.asarray(self._decode(jnp.asarray(z)))
+
+
+class _ConvVAEWrapper(_Base):
+    def __init__(self, params, spec, img_size=256):
+        from . import conv_vae as cv
+
+        self.params, self.spec = params, spec
+        self.img_size = img_size
+        self.latent_dim = spec.embed_dim
+        self._encode = jax.jit(
+            lambda x, key: cv.encode(self.params, self.spec, x).sample(key)
+        )
+        self._decode = jax.jit(lambda z: cv.decode_to_images(self.params, self.spec, z))
+
+    def encode_images(self, images, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        key = key if key is not None else jax.random.key(0)
+        return self._encode(jnp.asarray(images), key)
+
+    def decode_to_images(self, z) -> np.ndarray:
+        return np.asarray(self._decode(jnp.asarray(z)))
+
+
+class VA_VAE(_ConvVAEWrapper):
+    """tokenizer/vavae.py equivalent (f16d32)."""
+
+    def __init__(self, ckpt_path: Optional[str] = None, img_size: int = 256, embed_dim: int = 32):
+        from . import conv_vae as cv
+
+        if ckpt_path and os.path.exists(ckpt_path):
+            params, spec = cv.load_vavae(ckpt_path, embed_dim)
+        else:
+            spec = cv.vavae_spec(embed_dim)
+            params = cv.init_conv_vae_params(jax.random.key(0), spec)
+        super().__init__(params, spec, img_size)
+
+
+class MAR_VAE(_ConvVAEWrapper):
+    """tokenizer/marvae.py equivalent (f16d16, no decoder attention)."""
+
+    def __init__(self, ckpt_path: Optional[str] = None, img_size: int = 256, embed_dim: int = 16):
+        from . import conv_vae as cv
+
+        if ckpt_path and os.path.exists(ckpt_path):
+            params, spec = cv.load_marvae(ckpt_path, embed_dim)
+        else:
+            spec = cv.marvae_spec(embed_dim)
+            params = cv.init_conv_vae_params(jax.random.key(0), spec)
+        super().__init__(params, spec, img_size)
+
+
+class SD_VAE(_ConvVAEWrapper):
+    """tokenizer/sdvae.py equivalent (diffusers AutoencoderKL, SD3 config).
+    encode_images uses the posterior MODE like Diffusers_AutoencoderKL
+    (sdvae.py:55-60)."""
+
+    def __init__(self, ckpt_path: Optional[str] = None, img_size: int = 256):
+        from . import conv_vae as cv
+        from .sdvae_import import load_sdvae
+
+        if ckpt_path and os.path.exists(ckpt_path):
+            params, spec = load_sdvae(ckpt_path)
+        else:
+            spec = cv.sdvae_spec()
+            params = cv.init_conv_vae_params(jax.random.key(0), spec)
+        super().__init__(params, spec, img_size)
+        self._encode_mode = jax.jit(
+            lambda x: cv.encode(self.params, self.spec, x).mode()
+        )
+
+    def encode_images(self, images, key=None) -> jnp.ndarray:
+        return self._encode_mode(jnp.asarray(images))
+
+
+def build_tokenizer(model_name: str, weight_path: str = "", img_size: int = 256):
+    """Tokenizer factory matching the reference's model_name dispatch
+    (extract_features.py:56-99): 'vmae*' → VMAE, 'vavae' → VA_VAE,
+    'marvae' → MAR_VAE, {'ae','dae','vae','sdv3'} → SD_VAE."""
+    if model_name.startswith("vmae"):
+        return VMAE_Tokenizer(weight_path, img_size)
+    if model_name == "vavae":
+        return VA_VAE(weight_path, img_size)
+    if model_name == "marvae":
+        return MAR_VAE(weight_path, img_size)
+    if model_name in ("ae", "dae", "vae", "sdv3"):
+        return SD_VAE(weight_path, img_size)
+    raise ValueError(f"unknown tokenizer {model_name!r}")

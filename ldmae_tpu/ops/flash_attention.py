@@ -133,34 +133,42 @@ flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 def _flash_rope_kernel(
     q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref,
-    *, scale: float,
+    *, scale: float, hd: int,
 ):
-    q = q_ref[0, :, 0, :]  # (bq, hd)
-    k = k_ref[0, :, 0, :]  # (N, hd)
-    v = v_ref[0, :, 0, :]  # (N, hd)
-    hd = q.shape[-1]
+    """Processes ``hpb = block_cols // hd`` heads laid out side-by-side in the
+    last (lane) dimension. Mosaic requires ≥128 lanes per block; hd=64 →
+    2 heads per block. cos/sin tables are pre-tiled to block_cols lanes."""
     half = hd // 2
+    cols = q_ref.shape[-1]
+    hpb = cols // hd
 
-    def rope(x, cos, sin):
+    def rope(x, cos, sin, h0):
         xc = x.astype(jnp.float32)
-        rot = jnp.concatenate([-xc[:, half:], xc[:, :half]], axis=-1)
-        return (xc * cos + rot * sin).astype(x.dtype)
+        rot = jnp.concatenate([-xc[:, h0 + half : h0 + hd], xc[:, h0 : h0 + half]], axis=-1)
+        return xc[:, h0 : h0 + hd] * cos[:, h0 : h0 + hd] + rot * sin[:, h0 : h0 + hd]
 
-    q = rope(q, cosq_ref[:, :], sinq_ref[:, :])
-    k = rope(k, cosk_ref[:, :], sink_ref[:, :])
+    q_all = q_ref[0]
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    cq, sq = cosq_ref[:, :], sinq_ref[:, :]
+    ck, sk = cosk_ref[:, :], sink_ref[:, :]
 
-    logits = (
-        jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    for hi in range(hpb):
+        h0 = hi * hd
+        q = rope(q_all, cq, sq, h0).astype(q_all.dtype)  # (bq, hd)
+        k = rope(k_all, ck, sk, h0).astype(k_all.dtype)  # (N, hd)
+        v = v_all[:, h0 : h0 + hd]
+        logits = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
         )
-        * scale
-    )
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h0 : h0 + hd] = out.astype(o_ref.dtype)
 
 
 def flash_attention_fused_rope(
@@ -169,22 +177,41 @@ def flash_attention_fused_rope(
     v: jnp.ndarray,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
+    num_heads: Optional[int] = None,
 ) -> jnp.ndarray:
-    """q, k, v: (B, N, H, hd); cos/sin: (N, hd) HALF-SPLIT tables.
-    Returns (B, N, H, hd). Forward-only (sampling path)."""
-    b, n, h, hd = q.shape
+    """q, k, v: (B, N, H, hd) or (B, N, H*hd); cos/sin: (N, hd) HALF-SPLIT
+    tables. Returns the same shape as q. Forward-only (sampling path)."""
+    orig_shape = q.shape
+    if q.ndim == 4:
+        b, n, h, hd = q.shape
+        q = q.reshape(b, n, h * hd)
+        k = k.reshape(b, n, h * hd)
+        v = v.reshape(b, n, h * hd)
+    else:
+        assert num_heads is not None
+        b, n, d = q.shape
+        h = num_heads
+        hd = d // h
     scale = hd**-0.5
     bq = _pick_block_q(n)
+    hpb = max(128 // hd, 1)  # heads per block (lane alignment)
+    while h % hpb != 0:
+        hpb //= 2
+    cols = hpb * hd
 
-    qspec = pl.BlockSpec((1, bq, 1, hd), lambda bi, hi, j: (bi, j, hi, 0), memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, n, 1, hd), lambda bi, hi, j: (bi, 0, hi, 0), memory_space=pltpu.VMEM)
-    tq = pl.BlockSpec((bq, hd), lambda bi, hi, j: (j, 0), memory_space=pltpu.VMEM)
-    tk = pl.BlockSpec((n, hd), lambda bi, hi, j: (0, 0), memory_space=pltpu.VMEM)
+    # tile the rope tables across the heads within a block
+    cos_t = jnp.tile(cos.astype(jnp.float32), (1, hpb))
+    sin_t = jnp.tile(sin.astype(jnp.float32), (1, hpb))
 
-    return pl.pallas_call(
-        functools.partial(_flash_rope_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, n, h, hd), q.dtype),
-        grid=(b, h, n // bq),
+    qspec = pl.BlockSpec((1, bq, cols), lambda bi, hi, j: (bi, j, hi), memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, n, cols), lambda bi, hi, j: (bi, 0, hi), memory_space=pltpu.VMEM)
+    tq = pl.BlockSpec((bq, cols), lambda bi, hi, j: (j, 0), memory_space=pltpu.VMEM)
+    tk = pl.BlockSpec((n, cols), lambda bi, hi, j: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_rope_kernel, scale=scale, hd=hd),
+        out_shape=jax.ShapeDtypeStruct((b, n, h * hd), q.dtype),
+        grid=(b, h // hpb, n // bq),
         in_specs=[qspec, kvspec, kvspec, tq, tq, tk, tk],
         out_specs=qspec,
         cost_estimate=pl.CostEstimate(
@@ -192,8 +219,8 @@ def flash_attention_fused_rope(
             bytes_accessed=4 * b * h * n * hd * q.dtype.itemsize,
             transcendentals=b * h * n * n,
         ),
-    )(q, k, v, cos.astype(jnp.float32), sin.astype(jnp.float32),
-      cos.astype(jnp.float32), sin.astype(jnp.float32))
+    )(q, k, v, cos_t, sin_t, cos_t, sin_t)
+    return out.reshape(orig_shape)
 
 
 def builtin_flash_attention(q, k, v):

@@ -306,3 +306,37 @@ class TestDiffusersImport:
         assert np.all(np.isfinite(np.asarray(img)))
         # q/k/v linear->conv reshape happened
         assert params["encoder"]["mid"]["attn_1"]["q"]["w"].shape == (16, 16, 1, 1)
+
+
+class TestTokenizerWrappers:
+    def test_factory_and_api(self):
+        import jax
+        from PIL import Image
+        from ldmae_tpu.models import conv_vae as _cv
+        from ldmae_tpu.models.tokenizers import MAR_VAE, SD_VAE, VA_VAE, build_tokenizer
+
+        # tiny conv spec to keep CPU cost low: patch the spec factories
+        tiny = _cv.ConvVAESpec(
+            ch=8, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
+            decoder_attn_resolutions=(), resolution=16, z_channels=4,
+            embed_dim=4, num_groups=4,
+        )
+        from unittest import mock
+
+        with mock.patch.object(_cv, "vavae_spec", lambda embed_dim=32: tiny), \
+             mock.patch.object(_cv, "marvae_spec", lambda embed_dim=16: tiny), \
+             mock.patch.object(_cv, "sdvae_spec", lambda: tiny):
+            for cls in (VA_VAE, MAR_VAE, SD_VAE):
+                tok = cls(None, img_size=16)
+                tf = tok.img_transform(p_hflip=0, img_size=16)
+                img = tf(Image.fromarray(np.zeros((24, 30, 3), np.uint8)))
+                assert img.shape == (3, 16, 16)
+                z = tok.encode_images(img[None])
+                assert z.shape == (1, 4, 8, 8)
+                dec = tok.decode_to_images(z)
+                assert dec.shape == (1, 16, 16, 3) and dec.dtype == np.uint8
+
+    def test_build_tokenizer_dispatch(self):
+        from ldmae_tpu.models.tokenizers import build_tokenizer
+        with pytest.raises(ValueError):
+            build_tokenizer("nope")
