@@ -215,12 +215,15 @@ def init_dit_params(key: jax.Array, spec: DiTSpec) -> Params:
     return params
 
 
-def permute_qk_for_half_rope(params: Params, spec: DiTSpec) -> Params:
+def permute_qk_for_half_rope(
+    params: Params, spec: DiTSpec, inverse: bool = False
+) -> Params:
     """Permute q/k head-dim channels (weights, biases, qk-norm scales) from
     EVA-interleaved to half-split so apply_rope_half computes the identical
-    attention (logits are permutation-invariant). One-time transform for
-    inference/bench; invert with the same function's inverse permutation
-    before export."""
+    attention (logits are permutation-invariant). Safe for training too: the
+    transform is a reparametrisation and AdamW/EMA are elementwise, so the
+    permuted trajectory is exactly the permutation of the canonical one.
+    ``inverse=True`` undoes it (for exporting torch checkpoints)."""
     import numpy as _np
 
     from ..ops.rope import rope_channel_permutation
@@ -231,6 +234,8 @@ def permute_qk_for_half_rope(params: Params, spec: DiTSpec) -> Params:
     nh = spec.num_heads
     d = spec.hidden_size
     perm = rope_channel_permutation(hd)
+    if inverse:
+        perm = _np.argsort(perm)
 
     perm = jnp.asarray(perm)
 

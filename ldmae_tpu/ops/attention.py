@@ -94,9 +94,12 @@ def multi_head_attention(
         qkv = qkv + bias.reshape(3 * d).astype(jnp.float32)
     qkv = qkv.astype(dtype).reshape(b, n, 3, num_heads, hd)
 
-    if rope is not None and rope_layout == "half" and impl == "flash":
+    if rope is not None and rope_layout == "half" and impl == "flash_fused":
         # transpose-free fused path: stay in (B, N, H, hd); heads become a
         # kernel grid axis, rope applied in-kernel on VMEM-resident q/k.
+        # Measured SLOWER than transpose+flash on v5e at hd=64 (the per-head
+        # K=64 matmuls underutilise the MXU) — kept as an opt-in for larger
+        # head dims.
         from .flash_attention import flash_attention_fused_rope
 
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]

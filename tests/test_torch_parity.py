@@ -404,3 +404,26 @@ class TestHalfRopeLayout:
         np.testing.assert_allclose(
             np.asarray(fast), np.asarray(ref), rtol=1e-4, atol=1e-5
         )
+
+
+class TestHalfRopeInverse:
+    def test_inverse_roundtrip(self):
+        from ldmae_tpu.models.lightningdit import (
+            init_dit_params, permute_qk_for_half_rope,
+        )
+
+        spec = DiTSpec(
+            input_size=8, patch_size=1, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=10, use_qknorm=True, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        params = init_dit_params(jax.random.key(0), spec)
+        params = jax.tree_util.tree_map(
+            lambda p: p + jax.random.normal(jax.random.key(1), p.shape), params
+        )
+        fwd = permute_qk_for_half_rope(params, spec)
+        back = permute_qk_for_half_rope(fwd, spec, inverse=True)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            params, back,
+        )
