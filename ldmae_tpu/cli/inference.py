@@ -194,6 +194,18 @@ def do_sample(config, demo: bool = False, out_root: str = None):
     n_batches = (fid_num + per_batch - 1) // per_batch
     rank, world = jax.process_index(), jax.process_count()
     rng = np.random.default_rng(config.train.global_seed + rank)
+
+    # single-host multi-chip: shard the label batch over a dp mesh; XLA
+    # propagates the sharding through z and the whole pipeline (the
+    # reference instead runs one process per GPU).
+    mesh = None
+    if jax.local_device_count() > 1 and per_batch % jax.local_device_count() == 0:
+        from ..parallel import create_mesh
+
+        mesh = create_mesh(dp=-1)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        y_sharding = NamedSharding(mesh, P(("dp", "fsdp")))
     done = 0
     t0 = time.time()
     for i in range(rank, n_batches, world):
@@ -201,6 +213,8 @@ def do_sample(config, demo: bool = False, out_root: str = None):
         y = jnp.asarray(
             rng.integers(0, config.data.num_classes, size=per_batch), jnp.int32
         )
+        if mesh is not None:
+            y = jax.device_put(y, y_sharding)
         imgs = np.asarray(sample_jit(bundle, key, y))
         indices = np.arange(i * per_batch, i * per_batch + per_batch)
         keep = indices < fid_num
