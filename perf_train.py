@@ -1,0 +1,43 @@
+"""Train-step throughput on real TPU (LightningDiT-B/1 production config)."""
+import os, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from ldmae_tpu.models.lightningdit import DiTConsts, dit_spec, init_dit_params
+from ldmae_tpu.train.state import init_train_state
+from ldmae_tpu.train.train_dit import make_optimizer, make_train_step
+from ldmae_tpu.transport import create_transport
+from ldmae_tpu.utils.profiling import dit_forward_flops
+
+def run(batch, attn):
+    spec = dit_spec("LightningDiT-B/1", input_size=32, in_channels=16,
+                    num_classes=1000, use_qknorm=True, use_swiglu=True,
+                    use_rope=True, use_rmsnorm=True)
+    consts = DiTConsts(spec)
+    params = init_dit_params(jax.random.key(0), spec)
+    transport = create_transport("Linear", "velocity", use_lognorm=True)
+    tx = make_optimizer(2e-4, 0.95)
+    step = jax.jit(make_train_step(spec, consts, transport, tx,
+                                   compute_dtype=jnp.bfloat16, attn_impl=attn),
+                   donate_argnums=(0,))
+    state = init_train_state(params, tx)
+    batch_d = {"x": jax.random.normal(jax.random.key(1), (batch, 16, 32, 32)),
+               "y": (jnp.arange(batch) % 1000).astype(jnp.int32)}
+    rng = jax.random.key(2)
+    state, m = step(state, batch_d, rng)
+    jax.block_until_ready(m["loss"])
+    t0 = time.time(); iters = 5
+    for _ in range(iters):
+        state, m = step(state, batch_d, rng)
+    jax.block_until_ready(m["loss"])
+    dt = (time.time() - t0) / iters
+    flops = 3 * dit_forward_flops(spec, batch)  # fwd + ~2x bwd
+    print(f"train step b={batch} attn={attn}: {dt*1000:.1f} ms, "
+          f"{batch/dt:.1f} img/s, ~{flops/dt/1e12:.0f} TF/s ({flops/dt/197e12*100:.0f}% MFU)",
+          flush=True)
+
+if __name__ == "__main__":
+    run(32, "flash")
+    run(32, "xla")
+    run(64, "flash")
