@@ -87,6 +87,12 @@ def main():
     key = jax.random.key(config.train.global_seed)
     spec, consts, params, transport, tx, step_fn = build_from_config(config, key)
 
+    if config.parallel.rope_layout == "half":
+        from ..models.lightningdit import permute_qk_for_half_rope
+
+        params = permute_qk_for_half_rope(params, spec)
+        logger.info("using half-split RoPE layout (export applies the inverse)")
+
     # warm start from a torch checkpoint (train_accum.py:95-103, 308-334)
     if config.train.weight_init:
         loaded = torch_import.import_dit_checkpoint(

@@ -143,6 +143,7 @@ class ParallelConfig:
     tp: int = 1
     compute_dtype: str = "bfloat16"
     attention_impl: str = "flash"  # 'xla' | 'sdpa' | 'flash'
+    rope_layout: str = "interleaved"  # 'half' = fast permuted q/k layout
 
 
 @dataclass

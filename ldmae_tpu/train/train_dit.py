@@ -49,6 +49,7 @@ def make_train_step(
     ema_decay: float = 0.9999,
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "xla",
+    rope_layout: str = "interleaved",
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """Build the train step.
 
@@ -71,6 +72,7 @@ def make_train_step(
                 label_drop_key=k_drop,
                 compute_dtype=compute_dtype,
                 attn_impl=attn_impl,
+                rope_layout=rope_layout,
             )
 
         terms = transport.training_losses(model_fn, k_transport, x, dict(y=y))
@@ -173,6 +175,7 @@ def build_from_config(config: LDMAEConfig, key: jax.Array):
         grad_accum=config.train.gradient_accumulation_steps,
         compute_dtype=compute_dtype,
         attn_impl=config.parallel.attention_impl,
+        rope_layout=config.parallel.rope_layout,
     )
     return spec, consts, params, transport, tx, step_fn
 
