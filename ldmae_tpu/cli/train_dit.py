@@ -188,6 +188,8 @@ def main():
                         spec, consts, transport, state.params,
                         {"x": jnp.asarray(vbatch["x"]), "y": jnp.asarray(vbatch["y"])},
                         jax.random.key(0),
+                        attn_impl=config.parallel.attention_impl,
+                        rope_layout=config.parallel.rope_layout,
                     )
                 )
                 logger.info(f"Validation Loss: {val_loss:.4f}")

@@ -189,6 +189,7 @@ def evaluate_step(
     key: jax.Array,
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "xla",
+    rope_layout: str = "interleaved",
 ) -> jnp.ndarray:
     """Validation loss at fixed t-range (0,1) — the reference references an
     undefined evaluate() (train_accum.py:291); this is the working version."""
@@ -197,6 +198,7 @@ def evaluate_step(
         return dit_forward(
             params, spec, consts, xt, t, y, train=False,
             compute_dtype=compute_dtype, attn_impl=attn_impl,
+            rope_layout=rope_layout,
         )
 
     terms = transport.training_losses(
