@@ -205,3 +205,40 @@ def build_transform(is_train: bool, input_size: int = 224):
         return _to_tensor_norm(img)
 
     return tf
+
+
+class HFImageFolderDataset:
+    """HuggingFace `load_dataset("imagefolder")` adapter — the reference's
+    LAION branch (main_pretrain.py:162-183). Exposes the same
+    samples/get/iter-style access as ImageFolderDataset; labels come from the
+    HF 'label' column when present, else 0."""
+
+    def __init__(self, data_dir: str, image_size: int = 256, split: str = "train"):
+        from datasets import load_dataset
+
+        self.ds = load_dataset("imagefolder", data_dir=data_dir, split=split)
+        self.image_size = image_size
+        self.classes = (
+            self.ds.features["label"].names if "label" in self.ds.features else ["all"]
+        )
+
+    def __len__(self):
+        return len(self.ds)
+
+    def get(self, idx: int, hflip: bool = False):
+        rec = self.ds[int(idx)]
+        img = rec["image"].convert("RGB")
+        img = center_crop_arr(img, self.image_size)
+        if hflip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        arr = np.asarray(img, np.float32) / 255.0
+        arr = ((arr - 0.5) / 0.5).transpose(2, 0, 1)
+        return arr, int(rec.get("label", 0))
+
+    def get_train(self, idx: int, rng: np.random.Generator, input_size: int):
+        """RandomResizedCrop(0.75-1.0)+flip train transform like the LAION
+        branch."""
+        rec = self.ds[int(idx)]
+        return train_augment(rec["image"].convert("RGB"), rng, input_size), int(
+            rec.get("label", 0)
+        )

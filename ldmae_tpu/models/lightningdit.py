@@ -18,7 +18,6 @@ Registry names and all hyperparameters mirror lightningdit.py:498-531.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional, Tuple

@@ -139,3 +139,21 @@ class TestPeReset:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestHFImageFolder:
+    def test_adapter(self, tmp_path):
+        pytest.importorskip("datasets")
+        from ldmae_tpu.data.datasets import HFImageFolderDataset
+
+        d = tmp_path / "train" / "cat"
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(np.zeros((20, 20, 3), np.uint8)).save(d / f"{i}.png")
+        ds = HFImageFolderDataset(str(tmp_path), image_size=16)
+        assert len(ds) == 3
+        img, label = ds.get(0)
+        assert img.shape == (3, 16, 16)
+        rng = np.random.default_rng(0)
+        img2, _ = ds.get_train(1, rng, 16)
+        assert img2.shape == (3, 16, 16)
