@@ -142,7 +142,10 @@ class ParallelConfig:
     fsdp: int = 1
     tp: int = 1
     compute_dtype: str = "bfloat16"
-    attention_impl: str = "flash"  # 'xla' | 'sdpa' | 'flash'
+    attention_impl: str = "flash"  # sampling: 'xla' | 'sdpa' | 'flash'
+    # training: xla attention measured slightly faster than flash fwd+bwd
+    # (flash's custom VJP recomputes attention in fp32 einsums)
+    train_attention_impl: str = "xla"
     rope_layout: str = "interleaved"  # 'half' = fast permuted q/k layout
 
 

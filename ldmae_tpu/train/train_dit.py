@@ -174,7 +174,7 @@ def build_from_config(config: LDMAEConfig, key: jax.Array):
         tx,
         grad_accum=config.train.gradient_accumulation_steps,
         compute_dtype=compute_dtype,
-        attn_impl=config.parallel.attention_impl,
+        attn_impl=config.parallel.train_attention_impl,
         rope_layout=config.parallel.rope_layout,
     )
     return spec, consts, params, transport, tx, step_fn

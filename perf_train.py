@@ -13,7 +13,7 @@ from ldmae_tpu.utils.profiling import dit_forward_flops
 def run(batch, attn):
     spec = dit_spec("LightningDiT-B/1", input_size=32, in_channels=16,
                     num_classes=1000, use_qknorm=True, use_swiglu=True,
-                    use_rope=True, use_rmsnorm=True)
+                    use_rope=True, use_rmsnorm=True, use_checkpoint=True)
     consts = DiTConsts(spec)
     params = init_dit_params(jax.random.key(0), spec)
     transport = create_transport("Linear", "velocity", use_lognorm=True)
