@@ -65,3 +65,63 @@ class TestTrainVMAECLI:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def _write_config(tmp_path, origin, data_path, image_size=64):
+    import yaml
+
+    cfg = {
+        "data": {
+            "origin_path": origin,
+            "data_path": data_path,
+            "image_size": image_size,
+            "num_classes": 2,
+            "latent_norm": True,
+            "sample": True,
+        },
+        "vae": {"model_name": "vmae_f8d16", "downsample_ratio": 8, "weight_path": ""},
+        "model": {"model_type": "LightningDiT-B/1", "in_chans": 16},
+        "train": {"output_dir": str(tmp_path / "out"), "exp_name": "smoke"},
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
+class TestExtractAndEvalCLI:
+    def test_extract_features(self, image_folder, tmp_path):
+        latents_dir = str(tmp_path / "latents_sample")
+        cfg = _write_config(tmp_path, image_folder, str(tmp_path / "latents"))
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "ldmae_tpu.cli.extract_features",
+                "--config", cfg, "--batch", "4", "--limit", "8",
+            ],
+            env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        import glob
+
+        shards = glob.glob(os.path.join(latents_dir, "*.safetensors"))
+        assert shards, os.listdir(tmp_path)
+        assert os.path.exists(os.path.join(latents_dir, "latents_stats.pt"))
+        # moments stored: 2*16 channels at 64/8=8 grid
+        from safetensors import safe_open
+
+        with safe_open(shards[0], framework="numpy", device="cpu") as f:
+            sl = f.get_slice("latents")
+            assert tuple(sl.get_shape())[1:] == (32, 8, 8)
+
+    def test_evaluate_tokenizer(self, image_folder, tmp_path):
+        cfg = _write_config(tmp_path, image_folder, str(tmp_path / "latents"))
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "ldmae_tpu.cli.evaluate_tokenizer",
+                "--config", cfg, "--data_path", image_folder,
+                "--output_path", str(tmp_path / "rfid"),
+                "--batch", "4", "--limit", "8", "--epsilon", "0.0",
+            ],
+            env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "rfid" in r.stdout and "psnr" in r.stdout and "ssim" in r.stdout
