@@ -127,12 +127,17 @@ def main():
 
     accum = config.train.gradient_accumulation_steps
     micro = config.train.global_batch_size // accum
-    batches = dataset.iter_batches(
-        micro * accum,
-        shuffle=True,
-        seed=config.train.global_seed,
-        process_index=jax.process_index(),
-        process_count=jax.process_count(),
+    from ..utils.prefetch import Prefetcher
+
+    batches = Prefetcher(
+        dataset.iter_batches(
+            micro * accum,
+            shuffle=True,
+            seed=config.train.global_seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        ),
+        buffer_size=4,
     )
 
     step_jit = jax.jit(step_fn, donate_argnums=(0,))

@@ -441,6 +441,8 @@ _REGISTRY = {
     "LightningDiT-1p0B/2": dict(depth=24, hidden_size=1536, patch_size=2, num_heads=24),
     "LightningDiT-1p6B/1": dict(depth=28, hidden_size=1792, patch_size=1, num_heads=28),
     "LightningDiT-1p6B/2": dict(depth=28, hidden_size=1792, patch_size=2, num_heads=28),
+    # tiny config for CPU smoke tests / CI (not in the reference registry)
+    "LightningDiT-debug": dict(depth=2, hidden_size=64, patch_size=1, num_heads=4),
 }
 
 

@@ -47,6 +47,12 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _interpret() -> bool:
+    """Pallas TPU kernels only compile on TPU; interpret elsewhere (tests,
+    CPU smoke runs)."""
+    return jax.default_backend() != "tpu"
+
+
 def _pick_block_q(n: int) -> int:
     for bq in (512, 256, 128):
         if n % bq == 0:
@@ -71,6 +77,7 @@ def _flash_forward(q, k, v):
     out = pl.pallas_call(
         functools.partial(_flash_fwd_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=_interpret(),
         grid=(bh, n // bq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -211,6 +218,7 @@ def flash_attention_fused_rope(
     out = pl.pallas_call(
         functools.partial(_flash_rope_kernel, scale=scale, hd=hd),
         out_shape=jax.ShapeDtypeStruct((b, n, h * hd), q.dtype),
+        interpret=_interpret(),
         grid=(b, h // hpb, n // bq),
         in_specs=[qspec, kvspec, kvspec, tq, tq, tk, tk],
         out_specs=qspec,

@@ -125,3 +125,38 @@ class TestExtractAndEvalCLI:
         )
         assert r.returncode == 0, r.stderr[-3000:]
         assert "rfid" in r.stdout and "psnr" in r.stdout and "ssim" in r.stdout
+
+
+class TestInferenceCLI:
+    def test_demo_grid(self, tmp_path):
+        import yaml
+
+        cfg = {
+            "data": {
+                "data_path": str(tmp_path / "nolatents"),
+                "image_size": 64,
+                "num_classes": 1000,
+                "latent_norm": True,
+                "sample": True,
+            },
+            "vae": {"model_name": "vmae_f8d16", "downsample_ratio": 8, "weight_path": ""},
+            "model": {"model_type": "LightningDiT-debug", "in_chans": 16,
+                      "use_qknorm": True, "use_swiglu": True, "use_rope": True,
+                      "use_rmsnorm": True},
+            "train": {"output_dir": str(tmp_path / "out"), "exp_name": "demo"},
+            "sample": {"num_sampling_steps": 4, "cfg_scale": 4.0,
+                       "per_proc_batch_size": 8, "fid_num": 8},
+        }
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        r = subprocess.run(
+            [sys.executable, "-m", "ldmae_tpu.cli.inference", "--config", str(p), "--demo"],
+            env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        import glob
+
+        grids = glob.glob(str(tmp_path / "out" / "demo" / "*" / "demo_grid.png"))
+        assert grids, r.stdout[-2000:]
+        img = Image.open(grids[0])
+        assert img.size == (4 * 64, 2 * 64)  # 2x4 grid of 64² images

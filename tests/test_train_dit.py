@@ -194,3 +194,19 @@ class TestFSDP:
             init_train_state(params_sh, tx), shard_batch(mesh, batch), rng
         )
         np.testing.assert_allclose(float(m_ref["loss"]), float(m_f["loss"]), rtol=1e-4)
+
+
+class TestPrefetcher:
+    def test_order_and_exception(self):
+        from ldmae_tpu.utils.prefetch import Prefetcher
+
+        assert list(Prefetcher(iter(range(10)), buffer_size=2)) == list(range(10))
+
+        def bad():
+            yield 1
+            raise ValueError("boom")
+
+        it = Prefetcher(bad())
+        assert next(it) == 1
+        with np.testing.assert_raises(ValueError):
+            list(it)
