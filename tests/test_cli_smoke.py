@@ -160,3 +160,56 @@ class TestInferenceCLI:
         assert grids, r.stdout[-2000:]
         img = Image.open(grids[0])
         assert img.size == (4 * 64, 2 * 64)  # 2x4 grid of 64² images
+
+
+class TestTrainDiTCLI:
+    def test_train_and_resume(self, tmp_path):
+        import yaml
+        from safetensors.numpy import save_file
+
+        # tiny latent shards (moments: 2*16 ch at 8x8 like f8 of 64²)
+        ldir = tmp_path / "latents_sample"
+        ldir.mkdir()
+        rng = np.random.default_rng(0)
+        save_file(
+            {
+                "latents": rng.standard_normal((32, 32, 8, 8)).astype(np.float32),
+                "latents_flip": rng.standard_normal((32, 32, 8, 8)).astype(np.float32),
+                "labels": rng.integers(0, 4, 32).astype(np.int64),
+            },
+            str(ldir / "latents_rank00_shard000.safetensors"),
+        )
+        cfg = {
+            "data": {
+                "data_path": str(tmp_path / "latents"),
+                "image_size": 64,
+                "num_classes": 4,
+                "latent_norm": True,
+                "sample": True,
+            },
+            "vae": {"downsample_ratio": 8, "weight_path": ""},
+            "model": {"model_type": "LightningDiT-debug", "in_chans": 16,
+                      "use_qknorm": True, "use_swiglu": True, "use_rope": True,
+                      "use_rmsnorm": True},
+            "train": {
+                "max_steps": 3, "global_batch_size": 8, "output_dir": str(tmp_path / "out"),
+                "exp_name": "smoke", "log_every": 1, "ckpt_every": 2,
+                "gradient_accumulation_steps": 2,
+            },
+        }
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        cmd = [sys.executable, "-m", "ldmae_tpu.cli.train_dit", "--config", str(p)]
+        r = subprocess.run(cmd, env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        log = (tmp_path / "out" / "smoke" / "log.txt").read_text()
+        assert "Train Loss" in log
+        ckpts = os.listdir(tmp_path / "out" / "smoke" / "checkpoints")
+        assert any(c == "0000003" for c in ckpts), ckpts
+
+        # resume continues from step 3
+        cfg["train"]["max_steps"] = 4
+        p.write_text(yaml.safe_dump(cfg))
+        r = subprocess.run(cmd, env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "resumed from step 3" in (tmp_path / "out" / "smoke" / "log.txt").read_text()
