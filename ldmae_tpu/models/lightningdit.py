@@ -274,6 +274,26 @@ def permute_qk_for_half_rope(
     return out
 
 
+def merge_swiglu(params: Params, spec: DiTSpec) -> Params:
+    """Merge the SwiGLU w1/w2 halves into a single (L, D, 2H) ``w12`` matmul
+    weight (one MXU pass instead of two). Inference-time transform; the
+    canonical split layout stays the training/checkpoint format."""
+    if not spec.use_swiglu:
+        return params
+    blocks = dict(params["blocks"])
+    mlp = blocks["mlp"]
+    if "w12" in mlp:
+        return params
+    w12 = {
+        "w": jnp.concatenate([mlp["w1"]["w"], mlp["w2"]["w"]], axis=-1),
+        "b": jnp.concatenate([mlp["w1"]["b"], mlp["w2"]["b"]], axis=-1),
+    }
+    blocks["mlp"] = {"w12": w12, "w3": mlp["w3"]}
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------

@@ -50,8 +50,15 @@ def swiglu_ffn(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     The torch module packs w1/w2 into one ``w12`` Linear and chunks the
     output: x1 = first hidden_features columns, x2 = the rest. We store the
     two halves separately ({"w1","w2","w3"}) so tensor-parallel sharding over
-    the hidden dim stays aligned; the importer splits ``w12``.
+    the hidden dim stays aligned; the importer splits ``w12``. An optional
+    pre-merged {"w12","w3"} layout (models/lightningdit.merge_swiglu) does
+    one (D, 2H) matmul instead of two (D, H) ones.
     """
+    if "w12" in p:
+        x12 = dense(x, p["w12"])
+        h = x12.shape[-1] // 2
+        hidden = jax.nn.silu(x12[..., :h]) * x12[..., h:]
+        return dense(hidden, p["w3"])
     x1 = dense(x, p["w1"])
     x2 = dense(x, p["w2"])
     hidden = jax.nn.silu(x1) * x2

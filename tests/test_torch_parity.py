@@ -427,3 +427,26 @@ class TestHalfRopeInverse:
             lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
             params, back,
         )
+
+
+class TestMergedSwiglu:
+    def test_merged_matches_split(self):
+        from ldmae_tpu.models.lightningdit import init_dit_params, merge_swiglu
+
+        spec = DiTSpec(
+            input_size=8, patch_size=1, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=10, use_swiglu=True, use_rmsnorm=True,
+        )
+        params = init_dit_params(jax.random.key(0), spec)
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.1 * jax.random.normal(jax.random.key(1), p.shape), params
+        )
+        consts = DiTConsts(spec)
+        x = jax.random.normal(jax.random.key(2), (2, 4, 8, 8))
+        t = jnp.array([0.3, 0.7])
+        y = jnp.array([1, 2])
+        ref = dit_forward(params, spec, consts, x, t, y, compute_dtype=jnp.float32)
+        out = dit_forward(
+            merge_swiglu(params, spec), spec, consts, x, t, y, compute_dtype=jnp.float32
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
