@@ -61,6 +61,7 @@ def get_args_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--save_epochs", type=int, default=20)
+    p.add_argument("--num_workers", type=int, default=10)
     p.add_argument("--steps_per_epoch", type=int, default=None,
                    help="override for small datasets / smoke runs")
     p.add_argument("--dp", type=int, default=-1)
@@ -151,26 +152,33 @@ def main(args):
     data_rng = np.random.default_rng(args.seed)
     log_path = os.path.join(args.output_dir, "log.txt")
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..utils.prefetch import Prefetcher
+    from PIL import Image
+
+    pool = ThreadPoolExecutor(max_workers=args.num_workers)
+
+    def epoch_batches(order):
+        def load_one(i):
+            local_rng = np.random.default_rng(data_rng.integers(2**31))
+            return train_augment(
+                Image.open(dataset.samples[int(i)][0]), local_rng, args.input_size
+            )
+
+        for s in range(steps_per_epoch):
+            idx = order[(s * per_step) % len(order):][:per_step]
+            if len(idx) < per_step:
+                idx = np.concatenate([idx, order[: per_step - len(idx)]])
+            yield np.stack(list(pool.map(load_one, idx)))
+
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         meters = {k: 0.0 for k in ("loss", "vis_loss", "mask_loss", "kl_loss", "p_loss")}
         t0 = time.time()
         order = data_rng.permutation(len(dataset))
         n_steps = 0
-        for s in range(steps_per_epoch):
-            idx = order[(s * per_step) % len(order):][:per_step]
-            if len(idx) < per_step:
-                idx = np.concatenate([idx, order[: per_step - len(idx)]])
-            imgs = np.stack(
-                [
-                    train_augment(
-                        __import__("PIL.Image", fromlist=["Image"]).open(dataset.samples[i][0]),
-                        data_rng,
-                        args.input_size,
-                    )
-                    for i in idx
-                ]
-            )
+        for imgs in Prefetcher(epoch_batches(order), buffer_size=2):
             batch = shard_batch(mesh, {"x": jnp.asarray(imgs)})
             state, metrics = step_fn(state, batch, rng)
             for k in meters:
