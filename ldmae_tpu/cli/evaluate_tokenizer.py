@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, batch=32, limit=None):
+def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, batch=32, limit=None, latent_stats=None):
     from ..data.images import ImageFolderDataset
     from ..eval.fid import calculate_fid_given_paths
     from ..eval.metrics import psnr, ssim
@@ -56,6 +56,15 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
 
     lpips_params = load_lpips_params()
 
+    # latent std for the robustness perturbation: the reference loads
+    # latents_stats.pt (evaluate_tokenizer.py:116-123); fall back to the
+    # batchwise std when no stats file is given.
+    fixed_std = None
+    if latent_stats and os.path.exists(latent_stats):
+        from ..data.latent_dataset import _load_stats
+
+        fixed_std = jnp.asarray(_load_stats(latent_stats)["std"])
+
     @jax.jit
     def roundtrip(imgs, key):
         moments = vmae_mod.ldmae_encode_moments(
@@ -63,9 +72,10 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
         )
         latents = diagonal_gaussian(moments, axis=1).mode()
         if epsilon > 0:
-            # per-channel latent std computed on this batch (the reference
-            # loads latents_stats.pt; batchwise std is the streaming version)
-            latent_std = jnp.std(latents, axis=(0, 2, 3), keepdims=True)
+            if fixed_std is not None:
+                latent_std = fixed_std
+            else:
+                latent_std = jnp.std(latents, axis=(0, 2, 3), keepdims=True)
             latents = latents + epsilon * jax.random.normal(key, latents.shape) * latent_std
         decoded = vmae_mod.decode(
             params, vspec, consts, latents, compute_dtype=jnp.bfloat16
@@ -137,6 +147,8 @@ def main():
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--latent_stats", default=None,
+                        help="latents_stats.pt for the exact reference std")
     parser.add_argument(
         "--epsilon", type=float, nargs="+", default=[0.0],
         help="latent-noise robustness sweep (run_robustness_test.sh uses "
@@ -154,6 +166,7 @@ def main():
         evaluate_tokenizer(
             config, args.data_path, args.output_path, epsilon=eps,
             seed=args.seed, batch=args.batch, limit=args.limit,
+            latent_stats=args.latent_stats,
         )
 
 
