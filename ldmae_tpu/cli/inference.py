@@ -76,7 +76,6 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
     (ema) or a torch .pt, and the VMAE tokenizer from vae.weight_path."""
     from ..core.config import LDMAEConfig
     from ..eval.sampling import make_sample_fn
-    from ..models.lightningdit import DiTConsts
     from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec
     from ..train.train_dit import build_from_config
     from ..train import torch_import

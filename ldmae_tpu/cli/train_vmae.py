@@ -152,6 +152,16 @@ def main(args):
     data_rng = np.random.default_rng(args.seed)
     log_path = os.path.join(args.output_dir, "log.txt")
 
+    # TensorBoard scalars at the reference's epoch_1000x x-axis
+    # (engine_pretrain.py:90-105)
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(args.output_dir, "tensorboard"))
+    except ImportError:
+        pass
+
     from concurrent.futures import ThreadPoolExecutor
 
     from ..utils.prefetch import Prefetcher
@@ -189,6 +199,12 @@ def main(args):
 
         stats = {k: v / n_steps for k, v in meters.items()}
         stats.update(epoch=epoch, time=time.time() - t0)
+        if writer is not None:
+            x = int((epoch + 1) * 1000)  # epoch_1000x axis
+            for name, tb in [("loss", "train_loss"), ("vis_loss", "vis_loss"),
+                             ("mask_loss", "mask_loss"), ("kl_loss", "kl_loss"),
+                             ("p_loss", "p_loss")]:
+                writer.add_scalar(tb, stats[name], x)
         print(json.dumps({f"train_{k}": v for k, v in stats.items()}))
         with open(log_path, "a") as f:
             f.write(json.dumps({f"train_{k}": v for k, v in stats.items()}) + "\n")

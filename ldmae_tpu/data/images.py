@@ -11,8 +11,6 @@ Replaces torchvision ImageFolder + transforms for the extraction/eval paths:
 from __future__ import annotations
 
 import os
-import threading
-import queue
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np

@@ -18,7 +18,6 @@ sample rides the accelerator.
 from __future__ import annotations
 
 import os
-import json
 from glob import glob
 from typing import Dict, Iterator, List, Optional, Tuple
 

@@ -10,9 +10,6 @@ Replacements for the reference's metric calls in evaluate_tokenizer.py:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

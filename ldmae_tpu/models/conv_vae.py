@@ -14,8 +14,8 @@ All convs run NCHW on fp32/bf16; GroupNorm in fp32.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

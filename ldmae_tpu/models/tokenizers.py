@@ -26,7 +26,6 @@ class _Base:
     def img_transform(self, p_hflip: float = 0, img_size: Optional[int] = None) -> Callable:
         """Returns fn(PIL) -> (3, S, S) float32 in [-1, 1] (ADM center-crop +
         random flip + Normalize(0.5, 0.5))."""
-        from ..data.images import load_image as _load
         from ..data.images import center_crop_arr
         from PIL import Image
 

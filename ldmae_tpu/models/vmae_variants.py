@@ -22,7 +22,7 @@ models/vmae.py.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +36,7 @@ from ..ops import (
     random_masking,
     unshuffle_with_mask_tokens,
 )
-from ..ops.attention import sdpa
-from .vmae import VMAEConsts, VMAESpec, _conv2d, _decoder_pred, _to_latent
+from .vmae import VMAEConsts, VMAESpec, _conv2d, _decoder_pred
 
 Params = Dict[str, Any]
 

@@ -14,7 +14,6 @@ applied after each optimizer step (update_ema, train_accum.py:26-35).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

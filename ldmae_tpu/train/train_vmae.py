@@ -19,9 +19,7 @@ bf16 compute replaces the AMP GradScaler (no loss scaling needed on TPU).
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ it stays jit-compatible (one compiled program; data-dependent step count).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import contextlib
 import os
-from typing import Optional
-
 import jax
 
 
