@@ -91,3 +91,42 @@ class TestVMAERoundTrip:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestWarmStart:
+    def test_shape_checked_filter(self):
+        from ldmae_tpu.train.torch_import import warm_start_filter
+
+        spec_small = DiTSpec(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=5, use_swiglu=True, use_rmsnorm=True,
+        )
+        init = init_dit_params(jax.random.key(0), spec_small)
+        loaded = jax.tree_util.tree_map(
+            lambda p: p + 1.0, init_dit_params(jax.random.key(1), spec_small)
+        )
+        out = warm_start_filter(init, loaded)
+        # matching shapes -> loaded values
+        np.testing.assert_allclose(
+            np.asarray(out["t_embedder"]["fc1"]["w"]),
+            np.asarray(loaded["t_embedder"]["fc1"]["w"]),
+        )
+
+    def test_x_embedder_channel_slice(self):
+        """The reference slices x_embedder.proj.weight[:, :16] when the
+        loaded ckpt has more input channels (train_accum.py:308-334). Our
+        layout slices rows of (p*p*C, D)."""
+        from ldmae_tpu.train.torch_import import warm_start_filter
+
+        spec = DiTSpec(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=5, use_swiglu=True, use_rmsnorm=True,
+        )
+        init = init_dit_params(jax.random.key(0), spec)
+        bigger = {"x_embedder": {
+            "w": jnp.ones((2 * 2 * 8, 32)),  # 8 channels vs 4
+            "b": jnp.zeros((32,)),
+        }}
+        out = warm_start_filter(init, bigger)
+        assert out["x_embedder"]["w"].shape == (16, 32)
+        np.testing.assert_allclose(np.asarray(out["x_embedder"]["w"]), 1.0)
