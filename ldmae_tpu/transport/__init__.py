@@ -32,3 +32,8 @@ __all__ = [
     "make_time_grid",
     "forward_with_cfg",
 ]
+
+# small utils mirrored from the reference's transport/utils.py
+from .utils import EasyDict, log_state  # noqa: E402,F401
+
+__all__ += ["EasyDict", "log_state"]

@@ -210,3 +210,31 @@ class TestPrefetcher:
         assert next(it) == 1
         with np.testing.assert_raises(ValueError):
             list(it)
+
+
+class TestRemat:
+    def test_remat_train_step_matches_no_remat(self):
+        """use_checkpoint (jax.checkpoint over the scanned block) must not
+        change numerics, only memory."""
+        spec_nr = DiTSpec(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=8, use_qknorm=True, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True, use_checkpoint=False,
+        )
+        spec_r = DiTSpec(**{**spec_nr.__dict__, "use_checkpoint": True})
+        params = init_dit_params(jax.random.key(0), spec_nr)
+        transport = create_transport("Linear", "velocity", use_lognorm=False)
+        tx = make_optimizer(1e-3, 0.95)
+        batch = fake_batch(jax.random.key(0), 16, spec_nr)
+        rng = jax.random.key(5)
+        outs = []
+        for spec in (spec_nr, spec_r):
+            consts = DiTConsts(spec)
+            step = jax.jit(make_train_step(spec, consts, transport, tx, compute_dtype=jnp.float32))
+            s, m = step(init_train_state(params, tx), batch, rng)
+            outs.append((float(m["loss"]), s.params))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), outs[0][1], outs[1][1]
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) < 1e-5
