@@ -143,9 +143,9 @@ class ParallelConfig:
     tp: int = 1
     compute_dtype: str = "bfloat16"
     attention_impl: str = "flash"  # sampling: 'xla' | 'sdpa' | 'flash'
-    # training: xla attention measured slightly faster than flash fwd+bwd
-    # (flash's custom VJP recomputes attention in fp32 einsums)
-    train_attention_impl: str = "xla"
+    # training: flash with the Pallas backward kernel (88 vs 58 img/s/chip
+    # for B/1 at b=32 — the fp32 (B,H,N,N) HBM tensor never exists)
+    train_attention_impl: str = "flash"
     rope_layout: str = "interleaved"  # 'half' = fast permuted q/k layout
 
 
