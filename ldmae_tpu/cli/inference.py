@@ -85,6 +85,7 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
     spec, consts, params, transport, _, _ = build_from_config(config, key)
 
     ckpt = ckpt_path or config.ckpt_path
+    params_layout = "interleaved"  # canonical unless an Orbax ckpt says half
     if dit_params is not None:
         params = dit_params
     elif ckpt and os.path.exists(str(ckpt)) and str(ckpt).endswith((".pt", ".pth")):
@@ -95,6 +96,14 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
         with ocp.PyTreeCheckpointer() as c:
             restored = c.restore(os.path.abspath(str(ckpt)))
         params = restored["ema"] if "ema" in restored else restored["params"]
+        cfg_yaml = os.path.abspath(str(ckpt)) + ".config.yaml"
+        if os.path.exists(cfg_yaml):
+            import yaml as _yaml
+
+            saved = _yaml.safe_load(open(cfg_yaml)) or {}
+            params_layout = saved.get("parallel", {}).get("rope_layout", "interleaved")
+        else:
+            params_layout = "interleaved"
 
     # tokenizer
     vspec = vmae_spec(
@@ -128,7 +137,10 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
 
     from ..models.lightningdit import permute_qk_for_half_rope
 
-    params = permute_qk_for_half_rope(params, spec)
+    # sampling always runs in the fast half layout; permute unless the
+    # checkpoint is already stored that way
+    if params_layout != "half":
+        params = permute_qk_for_half_rope(params, spec)
     s = config.sample
     sample_fn = make_sample_fn(
         spec, consts, transport,

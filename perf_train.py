@@ -10,7 +10,7 @@ from ldmae_tpu.train.train_dit import make_optimizer, make_train_step
 from ldmae_tpu.transport import create_transport
 from ldmae_tpu.utils.profiling import dit_forward_flops
 
-def run(batch, attn):
+def run(batch, attn, rope_layout="interleaved"):
     spec = dit_spec("LightningDiT-B/1", input_size=32, in_channels=16,
                     num_classes=1000, use_qknorm=True, use_swiglu=True,
                     use_rope=True, use_rmsnorm=True, use_checkpoint=True)
@@ -18,8 +18,13 @@ def run(batch, attn):
     params = init_dit_params(jax.random.key(0), spec)
     transport = create_transport("Linear", "velocity", use_lognorm=True)
     tx = make_optimizer(2e-4, 0.95)
+    if rope_layout == "half":
+        from ldmae_tpu.models.lightningdit import permute_qk_for_half_rope
+
+        params = permute_qk_for_half_rope(params, spec)
     step = jax.jit(make_train_step(spec, consts, transport, tx,
-                                   compute_dtype=jnp.bfloat16, attn_impl=attn),
+                                   compute_dtype=jnp.bfloat16, attn_impl=attn,
+                                   rope_layout=rope_layout),
                    donate_argnums=(0,))
     state = init_train_state(params, tx)
     batch_d = {"x": jax.random.normal(jax.random.key(1), (batch, 16, 32, 32)),
@@ -33,11 +38,16 @@ def run(batch, attn):
     jax.block_until_ready(m["loss"])
     dt = (time.time() - t0) / iters
     flops = 3 * dit_forward_flops(spec, batch)  # fwd + ~2x bwd
-    print(f"train step b={batch} attn={attn}: {dt*1000:.1f} ms, "
+    print(f"train step b={batch} attn={attn} rope={rope_layout}: {dt*1000:.1f} ms, "
           f"{batch/dt:.1f} img/s, ~{flops/dt/1e12:.0f} TF/s ({flops/dt/197e12*100:.0f}% MFU)",
           flush=True)
 
 if __name__ == "__main__":
-    run(32, "flash")
-    run(32, "xla")
-    run(64, "flash")
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "half":
+        run(32, "flash", rope_layout="half")
+    else:
+        run(32, "flash")
+        run(32, "xla")
+        run(64, "flash")
