@@ -120,13 +120,19 @@ def multi_head_attention(
     q = _apply_head_norm(q, p.get("q_norm"), qk_norm_kind)
     k = _apply_head_norm(k, p.get("k_norm"), qk_norm_kind)
 
-    if rope is not None:
-        cos, sin = rope
-        rope_fn = apply_rope_half if rope_layout == "half" else apply_rope
-        q = rope_fn(q, cos, sin)
-        k = rope_fn(k, cos, sin)
+    if rope is not None and rope_layout == "half" and impl == "flash_rope":
+        # in-kernel rope: q/k never take the extra HBM round-trip
+        from .flash_attention import flash_attention_rope
 
-    out = sdpa(q, k, v, impl=impl)
+        cos, sin = rope
+        out = flash_attention_rope(q, k, v, cos, sin)
+    else:
+        if rope is not None:
+            cos, sin = rope
+            rope_fn = apply_rope_half if rope_layout == "half" else apply_rope
+            q = rope_fn(q, cos, sin)
+            k = rope_fn(k, cos, sin)
+        out = sdpa(q, k, v, impl=impl)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
 
     from .linear import dense

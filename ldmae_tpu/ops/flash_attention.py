@@ -185,6 +185,84 @@ flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
+# flash kernel with in-kernel half-split RoPE, same (B, H, N, hd) layout and
+# matmul structure as the proven kernel — saves the separate rope pass over
+# q/k in HBM (~5 GB/forward at b=64 on B/1).
+# ---------------------------------------------------------------------------
+
+
+def _flash_rope_bhnd_kernel(
+    q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref,
+    *, scale: float,
+):
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (N, d)
+    v = v_ref[0]
+    half = q.shape[-1] // 2
+
+    def rope(x, cos, sin):
+        xf = x.astype(jnp.float32)
+        rot = jnp.concatenate([-xf[:, half:], xf[:, :half]], axis=-1)
+        return (xf * cos + rot * sin).astype(x.dtype)
+
+    q = rope(q, cosq_ref[:, :], sinq_ref[:, :])
+    k = rope(k, cosk_ref[:, :], sink_ref[:, :])
+
+    logits = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def flash_attention_rope(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    cos: jnp.ndarray, sin: jnp.ndarray,
+) -> jnp.ndarray:
+    """(B, H, N, d) flash attention with half-split RoPE applied in-kernel.
+    cos/sin: (N, d) HALF-SPLIT tables. Forward-only (sampling)."""
+    b, h, n, d = q.shape
+    scale = d**-0.5
+    bq = _pick_block_q(n)
+    bh = b * h
+    qf = q.reshape(bh, n, d)
+    kf = k.reshape(bh, n, d)
+    vf = v.reshape(bh, n, d)
+    cos32 = cos.astype(jnp.float32)
+    sin32 = sin.astype(jnp.float32)
+
+    tq = pl.BlockSpec((bq, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    tk = pl.BlockSpec((n, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_flash_rope_bhnd_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=_interpret(),
+        grid=(bh, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            tq, tq, tk, tk,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n * n * d,
+            bytes_accessed=4 * bh * n * d * q.dtype.itemsize,
+            transcendentals=bh * n * n,
+        ),
+    )(qf, kf, vf, cos32, sin32, cos32, sin32)
+    return out.reshape(b, h, n, d)
+
+
+# ---------------------------------------------------------------------------
 # Fused transpose-free path: (B, N, H, hd) layout with half-split RoPE
 # applied inside the kernel.
 #
