@@ -85,7 +85,7 @@ def main(batch: int = 32, iters: int = 3, num_steps: int = 250):
         vae_spec=vspec,
         vae_consts=vconsts,
         compute_dtype=jnp.bfloat16,
-        attn_impl=os.environ.get("LDMAE_ATTN_IMPL", "flash"),
+        attn_impl=os.environ.get("LDMAE_ATTN_IMPL", "flash_rope"),
         rope_layout="half",
     )
     sample_jit = jax.jit(sample_fn)

@@ -142,7 +142,8 @@ class ParallelConfig:
     fsdp: int = 1
     tp: int = 1
     compute_dtype: str = "bfloat16"
-    attention_impl: str = "flash"  # sampling: 'xla' | 'sdpa' | 'flash'
+    attention_impl: str = "flash_rope"  # sampling: in-kernel rope flash
+    # ('xla' | 'sdpa' | 'flash' | 'flash_rope' | 'flash_fused')
     # training: flash with the Pallas backward kernel (88 vs 58 img/s/chip
     # for B/1 at b=32 — the fp32 (B,H,N,N) HBM tensor never exists)
     train_attention_impl: str = "flash"
