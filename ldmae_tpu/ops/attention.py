@@ -117,6 +117,24 @@ def multi_head_attention(
         qkv[:, :, 2].transpose(0, 2, 1, 3),
     )  # (B, H, N, hd)
 
+    if (
+        rope is not None and rope_layout == "half" and impl == "flash_rope"
+        and qk_norm_kind == "rms"
+        and p.get("q_norm") is not None and "bias" not in p["q_norm"]
+    ):
+        # fully fused: RMS qk-norm + rope + attention in one kernel; q/k take
+        # zero extra HBM round-trips after the qkv projection.
+        from .flash_attention import flash_attention_qknorm_rope
+
+        cos, sin = rope
+        out = flash_attention_qknorm_rope(
+            q, k, v, p["q_norm"]["scale"], p["k_norm"]["scale"], cos, sin
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        from .linear import dense
+
+        return dense(out, p["proj"], compute_dtype=dtype)
+
     q = _apply_head_norm(q, p.get("q_norm"), qk_norm_kind)
     k = _apply_head_norm(k, p.get("k_norm"), qk_norm_kind)
 

@@ -221,6 +221,87 @@ def _flash_rope_bhnd_kernel(
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _flash_qknorm_rope_kernel(
+    q_ref, k_ref, v_ref, qs_ref, ks_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref,
+    o_ref, *, scale: float, eps: float = 1e-6,
+):
+    """flash + in-kernel per-head RMS qk-norm + half-split RoPE."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    half = q.shape[-1] // 2
+
+    def rmsnorm(x, w):
+        xf = x.astype(jnp.float32)
+        normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        # match ops.norms.rms_norm: cast back to x dtype BEFORE the scale
+        return normed.astype(x.dtype).astype(jnp.float32) * w
+
+    def rope(xf, cos, sin):
+        rot = jnp.concatenate([-xf[:, half:], xf[:, :half]], axis=-1)
+        return (xf * cos + rot * sin).astype(q.dtype)
+
+    qn = rope(rmsnorm(q, qs_ref[0, :]), cosq_ref[:, :], sinq_ref[:, :])
+    kn = rope(rmsnorm(k, ks_ref[0, :]), cosk_ref[:, :], sink_ref[:, :])
+
+    logits = (
+        jax.lax.dot_general(
+            qn, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def flash_attention_qknorm_rope(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    q_scale: jnp.ndarray, k_scale: jnp.ndarray,
+    cos: jnp.ndarray, sin: jnp.ndarray,
+) -> jnp.ndarray:
+    """(B, H, N, d) flash attention with RMS qk-norm AND half-split RoPE
+    applied in-kernel. q_scale/k_scale: (d,). Forward-only (sampling)."""
+    b, h, n, d = q.shape
+    scale = d**-0.5
+    bq = _pick_block_q(n)
+    bh = b * h
+    qf = q.reshape(bh, n, d)
+    kf = k.reshape(bh, n, d)
+    vf = v.reshape(bh, n, d)
+    cos32 = cos.astype(jnp.float32)
+    sin32 = sin.astype(jnp.float32)
+    qs = q_scale.astype(jnp.float32).reshape(1, d)
+    ks = k_scale.astype(jnp.float32).reshape(1, d)
+
+    tq = pl.BlockSpec((bq, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    tk = pl.BlockSpec((n, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    ts = pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_flash_qknorm_rope_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=_interpret(),
+        grid=(bh, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            ts, ts, tq, tq, tk, tk,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n * n * d,
+            bytes_accessed=4 * bh * n * d * q.dtype.itemsize,
+            transcendentals=bh * n * n,
+        ),
+    )(qf, kf, vf, qs, ks, cos32, sin32, cos32, sin32)
+    return out.reshape(b, h, n, d)
+
+
 def flash_attention_rope(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     cos: jnp.ndarray, sin: jnp.ndarray,

@@ -153,3 +153,36 @@ class TestFlashRopeBHND:
         with mock.patch.object(fa.pl, "pallas_call", patched):
             out = fa.flash_attention_rope(q, k, v, cos_h, sin_h)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+class TestFlashQKNormRope:
+    def test_matches_separate_path(self):
+        from unittest import mock
+        from ldmae_tpu.ops import flash_attention as fa
+        from ldmae_tpu.ops.norms import rms_norm
+        from ldmae_tpu.ops.rope import apply_rope_half, build_rope_table, to_half_layout
+
+        b, h, n, hd = 2, 3, 64, 32
+        q, k, v = (
+            jax.random.normal(jax.random.key(i + 30), (b, h, n, hd), jnp.float32)
+            for i in range(3)
+        )
+        qs = jnp.abs(jax.random.normal(jax.random.key(40), (hd,))) + 0.5
+        ks = jnp.abs(jax.random.normal(jax.random.key(41), (hd,))) + 0.5
+        cos, sin = build_rope_table(hd // 2, 8)
+        cos_h = jnp.asarray(to_half_layout(cos))
+        sin_h = jnp.asarray(to_half_layout(sin))
+        ref = sdpa(
+            apply_rope_half(rms_norm(q, qs), cos_h, sin_h),
+            apply_rope_half(rms_norm(k, ks), cos_h, sin_h),
+            v, impl="xla",
+        )
+        orig = fa.pl.pallas_call
+
+        def patched(*args, **kwargs):
+            kwargs["interpret"] = True
+            return orig(*args, **kwargs)
+
+        with mock.patch.object(fa.pl, "pallas_call", patched):
+            out = fa.flash_attention_qknorm_rope(q, k, v, qs, ks, cos_h, sin_h)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
