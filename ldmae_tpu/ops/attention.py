@@ -118,12 +118,13 @@ def multi_head_attention(
     )  # (B, H, N, hd)
 
     if (
-        rope is not None and rope_layout == "half" and impl == "flash_rope"
+        rope is not None and rope_layout == "half" and impl == "flash_qkr"
         and qk_norm_kind == "rms"
         and p.get("q_norm") is not None and "bias" not in p["q_norm"]
     ):
-        # fully fused: RMS qk-norm + rope + attention in one kernel; q/k take
-        # zero extra HBM round-trips after the qkv projection.
+        # fully fused: RMS qk-norm + rope + attention in one kernel. Measured
+        # SLOWER than flash_rope on v5e (lane-dim reductions in-kernel cost
+        # more than the saved HBM traffic) — opt-in only.
         from .flash_attention import flash_attention_qknorm_rope
 
         cos, sin = rope
