@@ -140,11 +140,12 @@ def multi_head_attention(
     k = _apply_head_norm(k, p.get("k_norm"), qk_norm_kind)
 
     if rope is not None and rope_layout == "half" and impl == "flash_rope":
-        # in-kernel rope: q/k never take the extra HBM round-trip
-        from .flash_attention import flash_attention_rope
+        # in-kernel rope: q/k never take the extra HBM round-trip; the
+        # trainable wrapper adds a Pallas backward with rope fwd+transpose
+        from .flash_attention import flash_attention_rope_trainable
 
         cos, sin = rope
-        out = flash_attention_rope(q, k, v, cos, sin)
+        out = flash_attention_rope_trainable(q, k, v, cos, sin)
     else:
         if rope is not None:
             cos, sin = rope

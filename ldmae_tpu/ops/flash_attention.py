@@ -343,6 +343,121 @@ def flash_attention_rope(
     return out.reshape(b, h, n, d)
 
 
+# --- trainable wrapper: rope in-kernel fwd AND bwd --------------------------
+#
+# RoPE is a linear map q_r = C·q + S·R·q with diagonal C=diag(cos),
+# S=diag(sin) and R the half-split rotation (R x = [-x2 | x1]). Its
+# transpose is Jᵀ y = C·y + Rᵀ·(S·y) with Rᵀ y = [y2 | -y1], which the
+# backward kernel applies to dq_r/dk_r before writing dq/dk.
+
+
+def _flash_rope_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, cos_ref, sin_ref, dq_ref, dk_ref, dv_ref,
+    *, scale: float,
+):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    cos = cos_ref[:, :]
+    sin = sin_ref[:, :]
+    half = q.shape[-1] // 2
+
+    def rope(x):
+        xf = x.astype(jnp.float32)
+        rot = jnp.concatenate([-xf[:, half:], xf[:, :half]], axis=-1)
+        return (xf * cos + rot * sin).astype(x.dtype)
+
+    def rope_t(y):  # transposed rope jacobian
+        sy = y * sin
+        rt = jnp.concatenate([sy[:, half:], -sy[:, :half]], axis=-1)
+        return y * cos + rt
+
+    qr = rope(q)
+    kr = rope(k)
+
+    logits = (
+        jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    dv_ref[0] = jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dsoft = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dqr = (
+        jnp.dot(dsoft, kr.astype(jnp.float32), preferred_element_type=jnp.float32)
+        * scale
+    )
+    dkr = (
+        jax.lax.dot_general(
+            dsoft, qr.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    dq_ref[0] = rope_t(dqr).astype(dq_ref.dtype)
+    dk_ref[0] = rope_t(dkr).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def flash_attention_rope_trainable(q, k, v, cos, sin):
+    return flash_attention_rope(q, k, v, cos, sin)
+
+
+def _far_fwd(q, k, v, cos, sin):
+    return flash_attention_rope(q, k, v, cos, sin), (q, k, v, cos, sin)
+
+
+def _far_bwd(res, g):
+    q, k, v, cos, sin = res
+    b, h, n, d = q.shape
+    scale = d**-0.5
+    bh = b * h
+    shape = jax.ShapeDtypeStruct((bh, n, d), q.dtype)
+    spec_full = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    tk = pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_rope_bwd_kernel, scale=scale),
+        out_shape=(shape, shape, shape),
+        interpret=_interpret(),
+        grid=(bh,),
+        in_specs=[spec_full] * 4 + [tk, tk],
+        out_specs=(spec_full, spec_full, spec_full),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * n * n * d,
+            bytes_accessed=7 * bh * n * d * q.dtype.itemsize,
+            transcendentals=bh * n * n,
+        ),
+    )(
+        q.reshape(bh, n, d),
+        k.reshape(bh, n, d),
+        v.reshape(bh, n, d),
+        g.reshape(bh, n, d),
+        cos.astype(jnp.float32),
+        sin.astype(jnp.float32),
+    )
+    return (
+        dq.reshape(b, h, n, d),
+        dk.reshape(b, h, n, d),
+        dv.reshape(b, h, n, d),
+        jnp.zeros_like(cos),
+        jnp.zeros_like(sin),
+    )
+
+
+flash_attention_rope_trainable.defvjp(_far_fwd, _far_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Fused transpose-free path: (B, N, H, hd) layout with half-split RoPE
 # applied inside the kernel.

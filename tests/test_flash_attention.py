@@ -186,3 +186,44 @@ class TestFlashQKNormRope:
         with mock.patch.object(fa.pl, "pallas_call", patched):
             out = fa.flash_attention_qknorm_rope(q, k, v, qs, ks, cos_h, sin_h)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+class TestFlashRopeTrainable:
+    def test_grad_matches_xla(self):
+        from unittest import mock
+        from ldmae_tpu.ops import flash_attention as fa
+        from ldmae_tpu.ops.rope import apply_rope_half, build_rope_table, to_half_layout
+
+        b, h, n, hd = 1, 2, 64, 32
+        q, k, v = (
+            jax.random.normal(jax.random.key(i + 50), (b, h, n, hd), jnp.float32)
+            for i in range(3)
+        )
+        cos, sin = build_rope_table(hd // 2, 8)
+        cos_h = jnp.asarray(to_half_layout(cos))
+        sin_h = jnp.asarray(to_half_layout(sin))
+
+        def loss_ref(q, k, v):
+            qr = apply_rope_half(q, cos_h, sin_h)
+            kr = apply_rope_half(k, cos_h, sin_h)
+            return jnp.sum(sdpa(qr, kr, v, impl="xla") ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+        orig = fa.pl.pallas_call
+
+        def patched(*args, **kwargs):
+            kwargs["interpret"] = True
+            return orig(*args, **kwargs)
+
+        with mock.patch.object(fa.pl, "pallas_call", patched):
+            def loss_fa(q, k, v):
+                return jnp.sum(
+                    fa.flash_attention_rope_trainable(q, k, v, cos_h, sin_h) ** 2
+                )
+
+            g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_fa, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=5e-3, atol=5e-3
+            )
