@@ -144,9 +144,10 @@ class ParallelConfig:
     compute_dtype: str = "bfloat16"
     attention_impl: str = "flash_rope"  # sampling: in-kernel rope flash
     # ('xla' | 'sdpa' | 'flash' | 'flash_rope' | 'flash_fused')
-    # training: flash with the Pallas backward kernel (88 vs 58 img/s/chip
-    # for B/1 at b=32 — the fp32 (B,H,N,N) HBM tensor never exists)
-    train_attention_impl: str = "flash"
+    # training: flash_rope (Pallas fwd+bwd kernels with in-kernel RoPE;
+    # 100.7 vs 58 img/s/chip for B/1 at b=32 — the fp32 (B,H,N,N) HBM tensor
+    # never exists and q/k skip the rope round-trips)
+    train_attention_impl: str = "flash_rope"
     rope_layout: str = "interleaved"  # 'half' = fast permuted q/k layout
 
 
