@@ -49,7 +49,9 @@ def sdpa(
     impl: str = "xla",
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(d)) v for (B, H, N, hd) operands."""
-    if impl == "flash":
+    if impl in ("flash", "flash_rope", "flash_fused", "flash_qkr"):
+        # rope-fused impls fall back to the plain kernel when no rope/half
+        # layout is in play (e.g. VMAE attention, celeba no-qknorm configs)
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v)
