@@ -49,12 +49,9 @@ def main(batch: int = 32, iters: int = 3, num_steps: int = 250):
     params = init_dit_params(jax.random.key(0), spec)
     # one-time q/k channel permutation -> cheap half-split RoPE (identical
     # attention; see ops/rope.py)
-    from ldmae_tpu.models.lightningdit import permute_qk_for_half_rope
+    from ldmae_tpu.models.lightningdit import merge_swiglu, permute_qk_for_half_rope
 
-    # (merge_swiglu is available but NOT used here: the merged program hangs
-    # the remote TPU compile service as of this round; half-rope + flash is
-    # the proven-stable fast path)
-    params = permute_qk_for_half_rope(params, spec)
+    params = merge_swiglu(permute_qk_for_half_rope(params, spec), spec)
 
     vspec = vmae_spec(
         "mae_for_ldmae_f8d16_prev",

@@ -135,12 +135,13 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
         except FileNotFoundError:
             pass
 
-    from ..models.lightningdit import permute_qk_for_half_rope
+    from ..models.lightningdit import merge_swiglu, permute_qk_for_half_rope
 
     # sampling always runs in the fast half layout; permute unless the
-    # checkpoint is already stored that way
+    # checkpoint is already stored that way, then merge the SwiGLU halves
     if params_layout != "half":
         params = permute_qk_for_half_rope(params, spec)
+    params = merge_swiglu(params, spec)
     s = config.sample
     sample_fn = make_sample_fn(
         spec, consts, transport,
