@@ -318,7 +318,7 @@ def _norm(x, p, use_rmsnorm):
 
 def _block(
     x: jnp.ndarray,
-    mod: jnp.ndarray,
+    c_mod: jnp.ndarray,
     bp: Params,
     spec: DiTSpec,
     rope,
@@ -327,11 +327,15 @@ def _block(
 ) -> jnp.ndarray:
     """One LightningDiT block (lightningdit.py:239-250).
 
-    mod: this block's precomputed adaLN modulation (B, num_adaln, D) — all
-    layers' projections are batched into one matmul before the scan (c is
-    layer-independent), replacing 12 skinny (B, D)x(D, 6D) matmuls.
+    c_mod: precomputed SiLU(c) (B, D) — the adaLN projection happens here
+    per block (batching all layers' projections before the scan measured
+    neutral for sampling and slower for training: the (L,B,na,D) tensor
+    becomes a saved remat residual).
     """
+    d = spec.hidden_size
     na = spec.num_adaln
+    mod = dense(c_mod, {"w": bp["adaln"]["w"].reshape(d, na * d), "b": bp["adaln"]["b"].reshape(na * d)})
+    mod = mod.reshape(-1, na, d)
     if spec.wo_shift:
         scale_msa, gate_msa, scale_mlp, gate_mlp = [mod[:, i] for i in range(4)]
         shift_msa = shift_mlp = None
@@ -426,24 +430,10 @@ def dit_forward(
     if spec.use_checkpoint:
         block_fn = jax.checkpoint(block_fn)
 
-    # all layers' adaLN projections in one (B, D) x (D, L*na*D) matmul
-    na = spec.num_adaln
-    l = spec.depth
-    ada_w = params["blocks"]["adaln"]["w"]  # (L, D, na, D)
-    ada_b = params["blocks"]["adaln"]["b"]  # (L, na, D)
-    mod_all = dense(
-        c_mod,
-        {
-            "w": ada_w.transpose(1, 0, 2, 3).reshape(d, l * na * d),
-            "b": ada_b.reshape(l * na * d),
-        },
-    ).reshape(b, l, na, d).transpose(1, 0, 2, 3)  # (L, B, na, D)
+    def scan_body(carry, bp):
+        return block_fn(carry, c_mod, bp), None
 
-    def scan_body(carry, xs):
-        bp, mod = xs
-        return block_fn(carry, mod, bp), None
-
-    tokens, _ = jax.lax.scan(scan_body, tokens, (params["blocks"], mod_all))
+    tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
 
     # final layer (lightningdit.py:267-272): chunk(2) -> (shift, scale)
     fl = params["final_layer"]
