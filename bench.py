@@ -29,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 A100_BASELINE_IMGS_PER_SEC = 0.40  # analytic estimate, see module docstring
 
 
-def main(batch: int = 32, iters: int = 3, num_steps: int = 250):
+def main(batch: int = 36, iters: int = 3, num_steps: int = 250):
     from ldmae_tpu.eval.sampling import make_sample_fn
     from ldmae_tpu.models.lightningdit import DiTConsts, dit_spec, init_dit_params
     from ldmae_tpu.models.vmae import VMAEConsts, init_vmae_params, vmae_spec
@@ -132,7 +132,7 @@ if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=36)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--num_steps", type=int, default=250)
     a = p.parse_args()
