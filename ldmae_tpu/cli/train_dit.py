@@ -142,11 +142,15 @@ def main():
     step_jit = jax.jit(step_fn, donate_argnums=(0,))
     rng = jax.random.key(config.train.global_seed + 1)
 
-    running_loss, log_steps = 0.0, 0
+    # Losses stay on device between logs (the reference syncs only at
+    # log_every, train_accum.py:255-259) — a per-step float() would block
+    # the host and serialise batch prep against device compute.
+    pending_losses, log_steps = [], 0
+    train_steps = int(state.step)
     start = time.time()
     logger.info(f"training for {config.train.max_steps} steps "
                 f"(global_batch={config.train.global_batch_size}, accum={accum})")
-    while int(state.step) < config.train.max_steps:
+    while train_steps < config.train.max_steps:
         host = next(batches)
         batch = {
             "x": host["x"].reshape(accum, micro, *host["x"].shape[1:]),
@@ -154,21 +158,21 @@ def main():
         }
         batch = shard_batch(mesh, batch, axis=1)
         state, metrics = step_jit(state, batch, rng)
-        running_loss += float(metrics["loss"])
+        pending_losses.append(metrics["loss"])
         log_steps += 1
-        train_steps = int(state.step)
+        train_steps += 1
 
         if train_steps % config.train.log_every == 0:
-            jax.block_until_ready(metrics["loss"])
+            jax.block_until_ready(pending_losses[-1])
             dt = time.time() - start
-            avg_loss = running_loss / log_steps
+            avg_loss = float(jnp.mean(jnp.stack(pending_losses)))
             logger.info(
                 f"(step={train_steps:07d}) Train Loss: {avg_loss:.4f}, "
                 f"Train Steps/Sec: {log_steps / dt:.2f}"
             )
             if writer is not None:
                 writer.add_scalar("Loss/train", avg_loss, train_steps)
-            running_loss, log_steps = 0.0, 0
+            pending_losses, log_steps = [], 0
             start = time.time()
 
         if train_steps % config.train.ckpt_every == 0 and train_steps > 0:

@@ -23,14 +23,22 @@ import numpy as np
 class _Base:
     latent_dim: int
 
-    def img_transform(self, p_hflip: float = 0, img_size: Optional[int] = None) -> Callable:
+    def img_transform(
+        self,
+        p_hflip: float = 0,
+        img_size: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> Callable:
         """Returns fn(PIL) -> (3, S, S) float32 in [-1, 1] (ADM center-crop +
-        random flip + Normalize(0.5, 0.5))."""
+        random flip + Normalize(0.5, 0.5)). The extraction pipeline uses
+        deterministic flips (p_hflip 0 or 1, extract_features.py:107-110);
+        for 0<p<1 each transform gets a fresh RNG (or ``seed`` if given) —
+        the reference draws from torch's per-process global RNG."""
         from ..data.images import center_crop_arr
         from PIL import Image
 
         size = img_size or self.img_size
-        rng = np.random.default_rng(0)
+        rng = np.random.default_rng(seed)
 
         def tf(pil_image: Image.Image) -> np.ndarray:
             img = center_crop_arr(pil_image, size)

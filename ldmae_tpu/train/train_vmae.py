@@ -165,8 +165,16 @@ def make_vmae_train_step(
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # A non-finite loss must be a true no-op (reference aborts instead,
+        # engine_pretrain.py:68-70): zeroed grads alone would still apply
+        # AdamW weight decay and stale momenta, so gate params AND opt_state.
+        select = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
+        params = select(new_params, state.params)
+        opt_state = select(new_opt_state, state.opt_state)
         metrics = dict(aux, loss=loss, loss_finite=finite)
         return (
             TrainState(state.step + 1, params, state.ema_params, opt_state),

@@ -1,0 +1,362 @@
+"""Direct parity tests against the ACTUAL reference modules.
+
+Unlike test_torch_parity.py (which rebuilds reference-layout torch models by
+hand), these tests import the reference's own source files from
+/root/reference/ and assert our JAX re-derivations match them numerically:
+
+  * transport/path.py        — ICPlan / VPCPlan / GVPCPlan, all conversions
+  * models/pos_embed.py      — VisionRotaryEmbeddingFast tables + forward
+  * models/rmsnorm.py:34-77  — RMSNorm (fp32-internal Llama variant)
+  * models/swiglu_ffn.py     — SwiGLUFFN (w12 packing + chunk order)
+  * models/lightningdit.py:444-491 — get_2d_sincos_pos_embed (float64 omega)
+  * VMAE/util/pos_embed.py   — get_2d_sincos_pos_embed (float32 grid variant)
+
+Reference modules that need heavyweight deps absent from this image
+(timm / torchdiffeq / fairscale) are loaded with inert stubs for those
+imports — only the pure-math pieces under test are executed.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from ldmae_tpu.ops import (
+    apply_rope,
+    build_rope_table,
+    get_2d_sincos_pos_embed,
+    rms_norm,
+    swiglu_ffn,
+)
+from ldmae_tpu.transport.paths import GVPCPlan, ICPlan, VPCPlan
+
+REF = "/root/reference/LDMAE"
+REF_VMAE = "/root/reference/VMAE"
+
+# the reference decorates hot fns with @torch.compile; run them eagerly
+os.environ["TORCHDYNAMO_DISABLE"] = "1"
+
+torch.manual_seed(0)
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def _load(path, name, stubs=None):
+    """Load a reference source file as a module, with sys.modules stubs
+    temporarily installed for its unavailable third-party imports."""
+    saved = {}
+    for k, v in (stubs or {}).items():
+        saved[k] = sys.modules.get(k)
+        sys.modules[k] = v
+    try:
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _fairscale_stubs():
+    layers = _stub_module(
+        "fairscale.nn.model_parallel.layers",
+        ColumnParallelLinear=object,
+        ParallelEmbedding=object,
+        RowParallelLinear=object,
+    )
+    init = _stub_module("fairscale.nn.model_parallel.initialize")
+    mp = _stub_module("fairscale.nn.model_parallel", initialize=init, layers=layers)
+    nn_ = _stub_module("fairscale.nn", model_parallel=mp)
+    root = _stub_module("fairscale", nn=nn_)
+    return {
+        "fairscale": root,
+        "fairscale.nn": nn_,
+        "fairscale.nn.model_parallel": mp,
+        "fairscale.nn.model_parallel.initialize": init,
+        "fairscale.nn.model_parallel.layers": layers,
+    }
+
+
+@pytest.fixture(scope="module")
+def ref_path():
+    return _load(f"{REF}/transport/path.py", "ref_transport_path")
+
+
+@pytest.fixture(scope="module")
+def ref_pos_embed():
+    return _load(f"{REF}/models/pos_embed.py", "ref_pos_embed")
+
+
+@pytest.fixture(scope="module")
+def ref_rmsnorm():
+    return _load(f"{REF}/models/rmsnorm.py", "ref_rmsnorm", stubs=_fairscale_stubs())
+
+
+@pytest.fixture(scope="module")
+def ref_swiglu():
+    return _load(f"{REF}/models/swiglu_ffn.py", "ref_swiglu_ffn")
+
+
+@pytest.fixture(scope="module")
+def ref_lightningdit(ref_pos_embed, ref_rmsnorm, ref_swiglu):
+    # lightningdit.py imports `from timm... import PatchEmbed, Mlp` and the
+    # sibling models.* — we only execute its pure-numpy sincos helpers, so
+    # class placeholders suffice.
+    vit = _stub_module(
+        "timm.models.vision_transformer", PatchEmbed=object, Mlp=object
+    )
+    timm_models = _stub_module("timm.models", vision_transformer=vit)
+    timm = _stub_module("timm", models=timm_models)
+    models_pkg = _stub_module("models")
+    models_pkg.__path__ = []
+    stubs = {
+        "timm": timm,
+        "timm.models": timm_models,
+        "timm.models.vision_transformer": vit,
+        "models": models_pkg,
+        "models.pos_embed": ref_pos_embed,
+        "models.rmsnorm": ref_rmsnorm,
+        "models.swiglu_ffn": ref_swiglu,
+    }
+    return _load(f"{REF}/models/lightningdit.py", "ref_lightningdit", stubs=stubs)
+
+
+@pytest.fixture(scope="module")
+def ref_vmae_pos_embed():
+    return _load(f"{REF_VMAE}/util/pos_embed.py", "ref_vmae_pos_embed")
+
+
+# ---------------------------------------------------------------------------
+# transport/path.py
+# ---------------------------------------------------------------------------
+
+
+def _plan_pairs(ref_path):
+    return [
+        ("ic", ICPlan(), ref_path.ICPlan()),
+        ("vp", VPCPlan(), ref_path.VPCPlan()),
+        ("gvp", GVPCPlan(), ref_path.GVPCPlan()),
+    ]
+
+
+class TestPathParity:
+    B = 7
+
+    def _data(self):
+        rng = np.random.default_rng(42)
+        t = np.linspace(0.05, 0.95, self.B).astype(np.float32)
+        x0 = rng.standard_normal((self.B, 4, 6, 6)).astype(np.float32)
+        x1 = rng.standard_normal((self.B, 4, 6, 6)).astype(np.float32)
+        return t, x0, x1
+
+    def test_plan(self, ref_path):
+        t, x0, x1 = self._data()
+        for name, ours, theirs in _plan_pairs(ref_path):
+            _, xt_r, ut_r = theirs.plan(
+                torch.tensor(t), torch.tensor(x0), torch.tensor(x1)
+            )
+            _, xt_o, ut_o = ours.plan(jnp.asarray(t), jnp.asarray(x0), jnp.asarray(x1))
+            np.testing.assert_allclose(
+                np.asarray(xt_o), xt_r.numpy(), rtol=1e-5, atol=1e-6, err_msg=name
+            )
+            np.testing.assert_allclose(
+                np.asarray(ut_o), ut_r.numpy(), rtol=1e-5, atol=1e-5, err_msg=name
+            )
+
+    def test_drift(self, ref_path):
+        t, x0, _ = self._data()
+        for name, ours, theirs in _plan_pairs(ref_path):
+            d_r, v_r = theirs.compute_drift(torch.tensor(x0), torch.tensor(t))
+            d_o, v_o = ours.compute_drift(jnp.asarray(x0), jnp.asarray(t))
+            np.testing.assert_allclose(
+                np.asarray(d_o), d_r.numpy(), rtol=1e-4, atol=1e-5, err_msg=name
+            )
+            np.testing.assert_allclose(
+                np.asarray(v_o),
+                v_r.numpy() if torch.is_tensor(v_r) else v_r,
+                rtol=1e-4,
+                atol=1e-5,
+                err_msg=name,
+            )
+
+    @pytest.mark.parametrize(
+        "form",
+        ["constant", "SBDM", "sigma", "linear", "decreasing", "inccreasing-decreasing"],
+    )
+    def test_diffusion_forms(self, ref_path, form):
+        t, x0, _ = self._data()
+        for name, ours, theirs in _plan_pairs(ref_path):
+            d_r = theirs.compute_diffusion(torch.tensor(x0), torch.tensor(t), form=form, norm=1.7)
+            d_o = ours.compute_diffusion(jnp.asarray(x0), jnp.asarray(t), form=form, norm=1.7)
+            np.testing.assert_allclose(
+                np.broadcast_to(np.asarray(d_o, dtype=np.float64), (self.B, 1, 1, 1)),
+                np.broadcast_to(
+                    d_r.numpy().astype(np.float64) if torch.is_tensor(d_r) else np.float64(d_r),
+                    (self.B, 1, 1, 1),
+                ),
+                rtol=1e-4,
+                atol=1e-5,
+                err_msg=f"{name}/{form}",
+            )
+
+    def test_conversions(self, ref_path):
+        t, x0, x1 = self._data()
+        v = 0.5 * (x1 - x0)
+        for name, ours, theirs in _plan_pairs(ref_path):
+            for fn in (
+                "get_score_from_velocity",
+                "get_noise_from_velocity",
+                "get_velocity_from_score",
+            ):
+                r = getattr(theirs, fn)(
+                    torch.tensor(v), torch.tensor(x0), torch.tensor(t)
+                )
+                o = getattr(ours, fn)(jnp.asarray(v), jnp.asarray(x0), jnp.asarray(t))
+                np.testing.assert_allclose(
+                    np.asarray(o), r.numpy(), rtol=2e-4, atol=1e-4,
+                    err_msg=f"{name}/{fn}",
+                )
+
+
+# ---------------------------------------------------------------------------
+# models/pos_embed.py — EVA RoPE
+# ---------------------------------------------------------------------------
+
+
+class TestRopeParity:
+    @pytest.mark.parametrize("dim,pt,ft", [(32, 16, None), (32, 16, 32), (16, 8, None)])
+    def test_tables(self, ref_pos_embed, dim, pt, ft):
+        rope = ref_pos_embed.VisionRotaryEmbeddingFast(
+            dim=dim, pt_seq_len=pt, ft_seq_len=ft
+        )
+        cos, sin = build_rope_table(dim, pt, ft)
+        np.testing.assert_allclose(cos, rope.freqs_cos.numpy(), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(sin, rope.freqs_sin.numpy(), rtol=1e-6, atol=1e-6)
+
+    def test_forward(self, ref_pos_embed):
+        dim, pt = 32, 16  # head_dim 64, 256 tokens — the production DiT-B/1 shape/16
+        rope = ref_pos_embed.VisionRotaryEmbeddingFast(dim=dim, pt_seq_len=pt)
+        t = torch.randn(2, 4, pt * pt, 2 * dim)
+        out_ref = rope(t).numpy()
+        cos, sin = build_rope_table(dim, pt)
+        out = apply_rope(jnp.asarray(t.numpy()), jnp.asarray(cos), jnp.asarray(sin))
+        np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-5, atol=1e-5)
+
+    def test_rotate_half_convention(self, ref_pos_embed):
+        from ldmae_tpu.ops.rope import rotate_half
+
+        x = torch.randn(3, 8)
+        np.testing.assert_allclose(
+            np.asarray(rotate_half(jnp.asarray(x.numpy()))),
+            ref_pos_embed.rotate_half(x).numpy(),
+            rtol=1e-6,
+        )
+
+
+# ---------------------------------------------------------------------------
+# models/rmsnorm.py + models/swiglu_ffn.py
+# ---------------------------------------------------------------------------
+
+
+class TestRMSNormParity:
+    def test_forward(self, ref_rmsnorm):
+        d = 48
+        m = ref_rmsnorm.RMSNorm(d)
+        with torch.no_grad():
+            m.weight.copy_(torch.randn(d) * 0.5 + 1.0)
+        x = torch.randn(2, 5, d) * 3.0
+        ref = m(x).detach().numpy()
+        out = rms_norm(jnp.asarray(x.numpy()), jnp.asarray(m.weight.detach().numpy()))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+    def test_eps_matches(self, ref_rmsnorm):
+        # tiny inputs expose the eps placement (inside the rsqrt, not added
+        # to the rms) — guard the 1e-6 default
+        d = 16
+        m = ref_rmsnorm.RMSNorm(d)
+        x = torch.randn(4, d) * 1e-4
+        ref = m(x).detach().numpy()
+        out = rms_norm(jnp.asarray(x.numpy()), jnp.ones(d, jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-7)
+
+
+class TestSwiGLUParity:
+    def test_forward_both_layouts(self, ref_swiglu):
+        d, h = 48, 30
+        m = ref_swiglu.SwiGLUFFN(d, hidden_features=h)
+        x = torch.randn(2, 7, d)
+        ref = m(x).detach().numpy()
+
+        w12 = m.w12.weight.detach().numpy()  # (2h, d)
+        b12 = m.w12.bias.detach().numpy()
+        w3 = m.w3.weight.detach().numpy()
+        b3 = m.w3.bias.detach().numpy()
+        xj = jnp.asarray(x.numpy())
+
+        split = {
+            "w1": {"w": jnp.asarray(w12[:h].T), "b": jnp.asarray(b12[:h])},
+            "w2": {"w": jnp.asarray(w12[h:].T), "b": jnp.asarray(b12[h:])},
+            "w3": {"w": jnp.asarray(w3.T), "b": jnp.asarray(b3)},
+        }
+        merged = {
+            "w12": {"w": jnp.asarray(w12.T), "b": jnp.asarray(b12)},
+            "w3": {"w": jnp.asarray(w3.T), "b": jnp.asarray(b3)},
+        }
+        for name, params in [("split", split), ("merged", merged)]:
+            out = swiglu_ffn(xj, params)
+            np.testing.assert_allclose(
+                np.asarray(out), ref, rtol=1e-4, atol=1e-5, err_msg=name
+            )
+
+
+# ---------------------------------------------------------------------------
+# sincos positional embeddings — both reference variants
+# ---------------------------------------------------------------------------
+
+
+class TestSincosParity:
+    @pytest.mark.parametrize("dim,gs", [(64, 8), (192, 32), (768, 32)])
+    def test_lightningdit_float64_variant(self, ref_lightningdit, dim, gs):
+        ref = ref_lightningdit.get_2d_sincos_pos_embed(dim, gs)
+        ours = get_2d_sincos_pos_embed(dim, gs)
+        np.testing.assert_allclose(ours, ref.astype(np.float32), rtol=1e-6, atol=1e-6)
+
+    def test_lightningdit_extra_tokens(self, ref_lightningdit):
+        ref = ref_lightningdit.get_2d_sincos_pos_embed(64, 4, cls_token=True, extra_tokens=2)
+        ours = get_2d_sincos_pos_embed(64, 4, cls_token=True, extra_tokens=2)
+        np.testing.assert_allclose(ours, ref.astype(np.float32), rtol=1e-6, atol=1e-6)
+        assert ours.shape[0] == 4 * 4 + 2
+        np.testing.assert_array_equal(ours[:2], 0.0)
+
+    @pytest.mark.parametrize("dim,gs", [(192, 32), (64, 8)])
+    def test_vmae_float32_grid_variant(self, ref_vmae_pos_embed, dim, gs):
+        # VMAE builds the grid in float32 (omega still float64); identical to
+        # ours at fp32 resolution for the grid sizes the pipeline uses
+        ref = ref_vmae_pos_embed.get_2d_sincos_pos_embed(dim, gs)
+        ours = get_2d_sincos_pos_embed(dim, gs)
+        np.testing.assert_allclose(ours, ref.astype(np.float32), rtol=1e-5, atol=1e-6)
+
+    def test_vmae_cls_token_row(self, ref_vmae_pos_embed):
+        ref = ref_vmae_pos_embed.get_2d_sincos_pos_embed(64, 4, cls_token=True)
+        ours = get_2d_sincos_pos_embed(64, 4, cls_token=True, extra_tokens=1)
+        np.testing.assert_allclose(ours, ref.astype(np.float32), rtol=1e-6, atol=1e-6)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

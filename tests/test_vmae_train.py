@@ -124,6 +124,41 @@ class TestStage1:
             assert k in m
 
 
+class TestNaNSkip:
+    """A non-finite loss must leave params AND opt_state untouched
+    (the reference hard-exits instead, engine_pretrain.py:68-70)."""
+
+    def test_nan_batch_is_a_noop(self):
+        consts = VMAEConsts(SPEC)
+        params = init_vmae_params(jax.random.key(0), SPEC)
+        tx = make_vmae_optimizer(params, 5, base_lr=1e-2)
+        step = jax.jit(make_vmae_train_step(SPEC, consts, tx, mask_ratio=0.25))
+        state = init_train_state(params, tx)
+        x = jax.random.normal(jax.random.key(1), (2, 3, 16, 16))
+        # one good step to populate Adam momenta
+        state, m = step(state, {"x": x}, jax.random.key(2))
+        assert bool(m["loss_finite"])
+        bad = jnp.full_like(x, jnp.nan)
+        new_state, m = step(state, {"x": bad}, jax.random.key(3))
+        assert not bool(m["loss_finite"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            new_state.params, state.params,
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            new_state.opt_state, state.opt_state,
+        )
+        assert int(new_state.step) == int(state.step) + 1
+        # training continues normally on the next finite batch
+        resumed, m = step(new_state, {"x": x}, jax.random.key(4))
+        assert bool(m["loss_finite"])
+        assert not np.allclose(
+            np.asarray(resumed.params["patch_embed"]["w"]),
+            np.asarray(new_state.params["patch_embed"]["w"]),
+        )
+
+
 class TestLPIPS:
     def test_zero_for_identical(self):
         params = import_lpips_weights()  # random backbone
