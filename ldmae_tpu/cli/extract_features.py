@@ -36,6 +36,12 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
+    # multi-process rendezvous (env:// RANK/WORLD_SIZE, SLURM, or TPU pod);
+    # must precede any backend touch (reference: misc.py:367-402 at driver top)
+    from ..parallel import init_distributed_mode
+
+    init_distributed_mode()
+
     from ..core.config import LDMAEConfig
     from ..data.images import ImageFolderDataset
     from ..data.latent_dataset import ImgLatentDataset, LatentShardWriter

@@ -72,6 +72,12 @@ def main(args):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
+    # multi-process rendezvous (env:// RANK/WORLD_SIZE, SLURM, or TPU pod);
+    # must precede any backend touch (reference: misc.py:367-402 at driver top)
+    from ..parallel import init_distributed_mode
+
+    init_distributed_mode()
+
     from ..data.augment import train_augment
     from ..data.images import ImageFolderDataset
     from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec

@@ -25,9 +25,14 @@ def init_distributed_mode(
 ) -> None:
     """Initialise multi-host jax. No-op when single-process with no
     distributed env present (the reference's local fallback,
-    extract_features.py:28-41)."""
-    if jax.process_count() > 1:
-        return  # already initialised
+    extract_features.py:28-41).
+
+    Must run before anything touches the XLA backend — so the
+    already-initialised check goes through ``jax.distributed.is_initialized``
+    (``jax.process_count()`` would itself initialise the backend and make a
+    later ``jax.distributed.initialize`` raise)."""
+    if jax.distributed.is_initialized():
+        return
 
     # explicit args win
     if coordinator_address is not None:

@@ -1,0 +1,99 @@
+"""True multi-PROCESS distributed test (2 CPU processes, localhost gRPC).
+
+Everything else in the suite runs single-process on a virtual 8-device mesh;
+this launches two actual processes through the env:// rendezvous that
+``parallel/distributed.py`` implements (the reference's
+init_distributed_mode, VMAE/util/misc.py:367-402) and checks:
+cross-process psum, per-process dataset sharding, and barrier.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from safetensors.numpy import save_file
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_two_process_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def latent_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mp_latents")
+    rng = np.random.default_rng(0)
+    # labels are 0..N-1 so each worker can report exactly which rows it saw
+    for shard, lo in enumerate([0, 9]):
+        n = 9 if shard == 0 else 7
+        save_file(
+            {
+                "latents": rng.standard_normal((n, 4, 2, 2)).astype(np.float32),
+                "latents_flip": rng.standard_normal((n, 4, 2, 2)).astype(np.float32),
+                "labels": np.arange(lo, lo + n).astype(np.int64),
+            },
+            str(d / f"latents_rank00_shard{shard:03d}.safetensors"),
+        )
+    return str(d)
+
+
+@pytest.mark.timeout(600)
+def test_two_process_rendezvous_psum_and_sharding(latent_dir):
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            RANK=str(rank),
+            WORLD_SIZE="2",
+            MASTER_ADDR="127.0.0.1",
+            MASTER_PORT=str(port),
+            PYTHONPATH=REPO,
+        )
+        env.pop("JAX_PLATFORMS", None)  # worker sets its own
+        env["XLA_FLAGS"] = ""  # drop conftest's 8-device flag; worker uses 2
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER, latent_dir],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = []
+    for rank, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-4000:]}"
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        kv = dict(item.split("=") for item in line.split()[1:])
+        results[kv["rank"]] = kv
+
+    assert results["0"]["main"] == "True" and results["1"]["main"] == "False"
+    for r in results.values():
+        assert r["sum"] == "33.0"
+        assert r["disjoint"] == "True"
+        assert r["complete"] == "True"
+    # 16 rows split across 2 processes
+    assert int(results["0"]["n_local"]) + int(results["1"]["n_local"]) == 16
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
