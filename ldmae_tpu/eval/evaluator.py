@@ -62,8 +62,28 @@ def _pairwise_sq_distances(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return np.maximum(d, 0)
 
 
+_PAD_VALUE = 1e4  # pad rows land ~1e8 away in squared distance — never a k-NN
+
+
+def _pad_rows(x: np.ndarray, block: int, value: float) -> np.ndarray:
+    """Pad axis 0 up to a multiple of ``block`` so every device block has the
+    same static shape (one XLA compile instead of one per remainder)."""
+    n = len(x)
+    m = (-n) % block
+    if m == 0:
+        return x
+    pad = np.full((m,) + x.shape[1:], value, dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
 class ManifoldEstimator:
-    """k-NN manifold estimator (evaluator.py:220-445)."""
+    """k-NN manifold estimator (evaluator.py:220-445).
+
+    The O(N²·D) distance blocks run on the accelerator (the reference runs
+    them on GPU TF, evaluator.py:448-470); at the pipeline's 50k×2048 this
+    is ~10¹³ FLOPs — hours on host numpy, seconds on one TPU chip. Only the
+    tiny (rows, k) / (rows, nhoods) results return to host. Set
+    ``device=False`` to force the numpy path (used for parity tests)."""
 
     def __init__(
         self,
@@ -72,6 +92,7 @@ class ManifoldEstimator:
         nhood_sizes: Tuple[int, ...] = (3,),
         clamp_to_percentile: Optional[float] = None,
         eps: float = 1e-5,
+        device: bool = True,
     ):
         self.row_batch_size = row_batch_size
         self.col_batch_size = col_batch_size
@@ -79,8 +100,67 @@ class ManifoldEstimator:
         self.num_nhoods = len(nhood_sizes)
         self.clamp_to_percentile = clamp_to_percentile
         self.eps = eps
+        self.device = device
+        self._jit = None
+
+    def _fns(self):
+        if self._jit is None:
+            from functools import partial
+
+            import jax
+            import jax.numpy as jnp
+
+            def sqd(u, v):
+                nu = jnp.sum(u * u, axis=1)[:, None]
+                nv = jnp.sum(v * v, axis=1)[None, :]
+                return jnp.maximum(
+                    nu + nv - 2.0 * (u @ v.T).astype(jnp.float32), 0.0
+                )
+
+            @partial(jax.jit, static_argnames=("k",))
+            def radii_block(rows, feats, k):
+                # k+1 smallest distances per row, ascending (top_k of -d)
+                return -jax.lax.top_k(-sqd(rows, feats), k + 1)[0]
+
+            @jax.jit
+            def inside_block(b1, b2, r1, r2):
+                d = sqd(b1, b2)
+                f1 = jnp.any(d[:, :, None] <= r2[None], axis=1)
+                f2 = jnp.any(d.T[:, :, None] <= r1[None], axis=1)
+                return f1, f2
+
+            self._jit = (radii_block, inside_block)
+        return self._jit
 
     def manifold_radii(self, features: np.ndarray) -> np.ndarray:
+        features = np.ascontiguousarray(features, dtype=np.float32)
+        if self.device:
+            radii = self._manifold_radii_device(features)
+        else:
+            radii = self._manifold_radii_host(features)
+        if self.clamp_to_percentile is not None:
+            max_d = np.percentile(radii, self.clamp_to_percentile, axis=0)
+            radii[radii > max_d] = 0
+        return radii
+
+    def _manifold_radii_device(self, features: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        radii_block, _ = self._fns()
+        n = len(features)
+        k = max(self.nhood_sizes)
+        padded = _pad_rows(features, self.row_batch_size, _PAD_VALUE)
+        feats_dev = jnp.asarray(padded)
+        out = []
+        for b1 in range(0, len(padded), self.row_batch_size):
+            block = radii_block(
+                feats_dev[b1 : b1 + self.row_batch_size], feats_dev, k
+            )
+            out.append(np.asarray(block))
+        dist = np.concatenate(out)[:n]  # (n, k+1) ascending distances
+        return dist[:, self.nhood_sizes].astype(np.float32)
+
+    def _manifold_radii_host(self, features: np.ndarray) -> np.ndarray:
         n = len(features)
         radii = np.zeros([n, self.num_nhoods], dtype=np.float32)
         seq = np.arange(max(self.nhood_sizes) + 1, dtype=np.int32)
@@ -95,9 +175,6 @@ class ManifoldEstimator:
             # k-th smallest distance (k-NN radius); partition then index
             part = np.partition(dist, seq, axis=1)
             radii[b1:e1, :] = part[:, self.nhood_sizes]
-        if self.clamp_to_percentile is not None:
-            max_d = np.percentile(radii, self.clamp_to_percentile, axis=0)
-            radii[radii > max_d] = 0
         return radii
 
     def evaluate_pr(
@@ -109,6 +186,37 @@ class ManifoldEstimator:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """precision = fraction of features_2 inside manifold(features_1);
         recall = fraction of features_1 inside manifold(features_2)."""
+        if self.device:
+            return self._evaluate_pr_device(features_1, radii_1, features_2, radii_2)
+        return self._evaluate_pr_host(features_1, radii_1, features_2, radii_2)
+
+    def _evaluate_pr_device(self, features_1, radii_1, features_2, radii_2):
+        import jax.numpy as jnp
+
+        _, inside_block = self._fns()
+        n1, n2 = len(features_1), len(features_2)
+        rb, cb = self.row_batch_size, self.col_batch_size
+        # pad radii with -1 so padded rows can never contain anything
+        f1 = jnp.asarray(_pad_rows(np.float32(features_1), rb, _PAD_VALUE))
+        f2 = jnp.asarray(_pad_rows(np.float32(features_2), cb, _PAD_VALUE))
+        r1 = jnp.asarray(_pad_rows(np.float32(radii_1), rb, -1.0))
+        r2 = jnp.asarray(_pad_rows(np.float32(radii_2), cb, -1.0))
+        f1_in_2 = np.zeros([len(f1), radii_2.shape[1]], dtype=bool)
+        f2_in_1 = np.zeros([len(f2), radii_1.shape[1]], dtype=bool)
+        for b1 in range(0, len(f1), rb):
+            for b2 in range(0, len(f2), cb):
+                blk1, blk2 = inside_block(
+                    f1[b1 : b1 + rb], f2[b2 : b2 + cb],
+                    r1[b1 : b1 + rb], r2[b2 : b2 + cb],
+                )
+                f1_in_2[b1 : b1 + rb] |= np.asarray(blk1)
+                f2_in_1[b2 : b2 + cb] |= np.asarray(blk2)
+        return (
+            np.mean(f2_in_1[:n2].astype(np.float64), axis=0),
+            np.mean(f1_in_2[:n1].astype(np.float64), axis=0),
+        )
+
+    def _evaluate_pr_host(self, features_1, radii_1, features_2, radii_2):
         f1_in_2 = np.zeros([len(features_1), radii_2.shape[1]], dtype=bool)
         f2_in_1 = np.zeros([len(features_2), radii_1.shape[1]], dtype=bool)
         for b1 in range(0, len(features_1), self.row_batch_size):
@@ -135,6 +243,7 @@ class Evaluator:
         self,
         weights_path: Optional[str] = None,
         batch_size: int = 64,
+        spatial_tap: str = "Mixed_6e",
     ):
         import jax
         import jax.numpy as jnp
@@ -164,9 +273,11 @@ class Evaluator:
                     sd["fc.bias"].numpy().astype(np.float32),
                 )
 
+        self.spatial_tap = spatial_tap
+
         def fwd(x):
             pooled, spatial = inception_forward(
-                self._params, x, return_spatial=True
+                self._params, x, return_spatial=True, spatial_tap=spatial_tap
             )
             # sFID spatial features: first 7 channels, NHWC flatten
             sp = jnp.transpose(spatial[:, :7], (0, 2, 3, 1)).reshape(x.shape[0], -1)

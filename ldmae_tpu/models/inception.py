@@ -191,12 +191,18 @@ def inception_forward(
     resize_input: bool = True,
     normalize_input: bool = True,
     return_spatial: bool = False,
+    spatial_tap: str = "Mixed_6e",
 ) -> jnp.ndarray:
     """x: (N, H, W, 3) float32 in [0, 1] → (N, 2048) pool features.
 
-    With ``return_spatial`` also returns the Mixed_6e output (N, 768, 17, 17)
-    — the pre-aux spatial features used for sFID (ADM evaluator's
-    FID_SPATIAL_NAME, evaluator.py:24).
+    With ``return_spatial`` also returns the ``spatial_tap`` block output
+    (default Mixed_6e, (N, 768, 17, 17)) — the pre-aux spatial features used
+    for sFID. NOTE: the ADM evaluator taps the TF1 graph's `mixed_6/conv:0`
+    tensor (evaluator.py:24,614), an intermediate this torchvision-structured
+    port does not expose; Mixed_6e is the nearest module boundary. Reported
+    sFID is therefore internally consistent (same tap both sides of the
+    Fréchet distance, 0 for identical sets) but NOT comparable to
+    ADM-published sFID numbers — see EVAL_NOTES.md for the tap study.
     """
     x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW
     if resize_input:
@@ -215,8 +221,10 @@ def inception_forward(
     spatial = None
     for name, fn in _MIXED:
         x = fn(x, params[name])
-        if name == "Mixed_6e":
+        if name == spatial_tap:
             spatial = x
+    if return_spatial and spatial is None:
+        raise ValueError(f"unknown spatial_tap {spatial_tap!r}")
     pooled = _adaptive_avg_pool_1(x)
     if return_spatial:
         return pooled, spatial

@@ -46,6 +46,14 @@ def export_dit_state_dict(params: Params, spec: DiTSpec) -> Dict[str, Any]:
 
     grid = spec.input_size // spec.patch_size
     sd["pos_embed"] = _t(get_2d_sincos_pos_embed(d, grid)[None])
+    if spec.use_rope:
+        # the reference registers the RoPE tables as buffers
+        # (pos_embed.py:128-132) so they appear in its state_dict
+        from ..ops.rope import build_rope_table
+
+        cos, sin = build_rope_table(spec.head_dim // 2, grid)
+        sd["feat_rope.freqs_cos"] = _t(cos)
+        sd["feat_rope.freqs_sin"] = _t(sin)
 
     b = params["blocks"]
     for i in range(spec.depth):

@@ -86,8 +86,13 @@ def _attn(sd, prefix: str, d: int, qk_norm: bool) -> Params:
     return p
 
 
-def _patch_embed(sd, name: str) -> Params:
+def _patch_embed(sd, name: str, in_channels: Optional[int] = None) -> Params:
     w = sd[f"{name}.proj.weight"]  # (D, C, p, p)
+    if in_channels is not None and w.shape[1] > in_channels:
+        # warm-start channel slice `weight[:, :16]` (train_accum.py:308-334);
+        # must happen on the conv channel axis BEFORE flattening to the
+        # (p·p·C, D) matmul layout — a row slice is only equivalent at p=1
+        w = w[:, :in_channels]
     d = w.shape[0]
     return {
         "w": jnp.asarray(w.transpose(2, 3, 1, 0).reshape(-1, d)),
@@ -133,7 +138,7 @@ def import_dit_state_dict(sd: Dict[str, np.ndarray], spec: DiTSpec) -> Params:
         return b
 
     params: Params = {
-        "x_embedder": _patch_embed(sd, "x_embedder"),
+        "x_embedder": _patch_embed(sd, "x_embedder", spec.in_channels),
         "t_embedder": {
             "fc1": _lin(sd, "t_embedder.mlp.0"),
             "fc2": _lin(sd, "t_embedder.mlp.2"),
@@ -248,9 +253,9 @@ def import_vmae_checkpoint(path: str, spec: VMAESpec) -> Params:
 
 
 def warm_start_filter(init_params: Params, loaded: Params) -> Params:
-    """Shape-checked warm start: keep loaded leaves whose shapes match; the
-    reference additionally channel-slices x_embedder.proj.weight[:, :16] —
-    our x_embedder w is (p*p*C, D) so the slice happens on rows."""
+    """Shape-checked warm start: keep loaded leaves whose shapes match,
+    fall back to the fresh initialisation otherwise (train_accum.py:308-334;
+    the x_embedder channel slice is applied at import time in _patch_embed)."""
     import jax
 
     def pick(path, init_leaf):
@@ -262,13 +267,8 @@ def warm_start_filter(init_params: Params, loaded: Params) -> Params:
             return init_leaf
         if node.shape == init_leaf.shape:
             return node
-        # x_embedder channel slice: (p*p*C_big, D) -> take first rows
-        if (
-            len(node.shape) == 2
-            and node.shape[1] == init_leaf.shape[1]
-            and node.shape[0] > init_leaf.shape[0]
-        ):
-            return node[: init_leaf.shape[0]]
+        # mismatched shapes are skipped (train_accum.py:320-326); the
+        # x_embedder channel slice happens at import time in _patch_embed
         return init_leaf
 
     return jax.tree_util.tree_map_with_path(pick, init_params)

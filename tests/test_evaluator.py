@@ -86,6 +86,43 @@ class TestManifold:
         np.testing.assert_allclose(pr_big[1], pr_small[1])
 
 
+class TestDeviceHostParity:
+    """The jitted device path must reproduce the numpy reference path
+    bit-for-bit at the boolean level (radii to fp32 tolerance)."""
+
+    def test_radii_parity_with_padding(self):
+        rng = np.random.default_rng(7)
+        feats = rng.standard_normal((103, 16)).astype(np.float32)  # odd size
+        dev = ManifoldEstimator(row_batch_size=32, nhood_sizes=(3, 5, 10), device=True)
+        host = ManifoldEstimator(
+            row_batch_size=32, col_batch_size=32, nhood_sizes=(3, 5, 10), device=False
+        )
+        np.testing.assert_allclose(
+            dev.manifold_radii(feats), host.manifold_radii(feats), rtol=1e-4, atol=1e-5
+        )
+
+    def test_pr_parity_with_padding(self):
+        rng = np.random.default_rng(8)
+        a = rng.standard_normal((101, 16)).astype(np.float32)
+        b = rng.standard_normal((67, 16)).astype(np.float32) * 1.3
+        dev = ManifoldEstimator(row_batch_size=32, col_batch_size=16, device=True)
+        host = ManifoldEstimator(row_batch_size=32, col_batch_size=16, device=False)
+        r1, r2 = host.manifold_radii(a), host.manifold_radii(b)
+        pr_dev = dev.evaluate_pr(a, r1, b, r2)
+        pr_host = host.evaluate_pr(a, r1, b, r2)
+        np.testing.assert_allclose(pr_dev[0], pr_host[0])
+        np.testing.assert_allclose(pr_dev[1], pr_host[1])
+
+    def test_clamp_percentile_applies_on_device(self):
+        rng = np.random.default_rng(9)
+        feats = rng.standard_normal((64, 8)).astype(np.float32)
+        dev = ManifoldEstimator(clamp_to_percentile=50.0, device=True)
+        host = ManifoldEstimator(clamp_to_percentile=50.0, device=False)
+        np.testing.assert_allclose(
+            dev.manifold_radii(feats), host.manifold_radii(feats), rtol=1e-4, atol=1e-5
+        )
+
+
 class TestStatistics:
     def test_sfid_stats_shapes(self):
         rng = np.random.default_rng(0)

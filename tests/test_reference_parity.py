@@ -358,5 +358,104 @@ class TestSincosParity:
         np.testing.assert_allclose(ours, ref.astype(np.float32), rtol=1e-6, atol=1e-6)
 
 
+# ---------------------------------------------------------------------------
+# datasets/img_latent_dataset.py — latent stats parity (torch-computed
+# latents_stats.pt must be interchangeable with ours)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_latent_dataset_cls():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_loader import _common_stubs
+
+    misc = _load(
+        f"{REF}/tokenizer/util/misc.py", "ref_tok_util_misc", stubs=_common_stubs()
+    )
+    tok = _stub_module("tokenizer")
+    tok.__path__ = []
+    tok_util = _stub_module("tokenizer.util", misc=misc)
+    tok_util.__path__ = []
+    mod = _load(
+        f"{REF}/datasets/img_latent_dataset.py",
+        "ref_img_latent_dataset",
+        stubs={
+            "tokenizer": tok,
+            "tokenizer.util": tok_util,
+            "tokenizer.util.misc": misc,
+        },
+    )
+    return mod.ImgLatentDataset
+
+
+class TestLatentStatsParity:
+    def _write_shards(self, d, n=64, sample=False):
+        from safetensors.numpy import save_file
+
+        rng = np.random.default_rng(0)
+        c = 8 if sample else 4
+        save_file(
+            {
+                "latents": (rng.standard_normal((n, c, 2, 2)) * 2 + 0.3).astype(np.float32),
+                "latents_flip": rng.standard_normal((n, c, 2, 2)).astype(np.float32),
+                "labels": rng.integers(0, 5, n).astype(np.int64),
+            },
+            str(d / "latents_rank00_shard000.safetensors"),
+        )
+
+    def test_stats_file_interchangeable(self, ref_latent_dataset_cls, tmp_path):
+        """The reference computes latents_stats.pt with torch mean/std
+        (unbiased); our reader must load that exact file, and our own
+        computed stats must match it numerically (both scale every sampled
+        latent at inference, inference.py:291)."""
+        from ldmae_tpu.data.latent_dataset import ImgLatentDataset
+
+        self._write_shards(tmp_path)
+        ref_ds = ref_latent_dataset_cls(str(tmp_path), latent_norm=True, sample=False)
+        assert (tmp_path / "latents_stats.pt").exists()
+        ref_mean = ref_ds._latent_mean.numpy()
+        ref_std = ref_ds._latent_std.numpy()
+
+        # ours reads the torch-written cache file
+        ours_cached = ImgLatentDataset(str(tmp_path), latent_norm=True, sample=False)
+        np.testing.assert_allclose(ours_cached._latent_mean, ref_mean, rtol=1e-6)
+        np.testing.assert_allclose(ours_cached._latent_std, ref_std, rtol=1e-6)
+
+        # and our own computation (fresh dir, same shard) agrees with torch's
+        d2 = tmp_path / "fresh"
+        d2.mkdir()
+        self._write_shards(d2)
+        ours = ImgLatentDataset(str(d2), latent_norm=True, sample=False)
+        np.testing.assert_allclose(
+            ours._latent_mean, ref_mean, rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(ours._latent_std, ref_std, rtol=1e-5, atol=1e-6)
+
+    def test_normalized_getitem_parity(self, ref_latent_dataset_cls, tmp_path, monkeypatch):
+        """(x − mean)/std · multiplier pipeline matches the reference's
+        __getitem__ (flip choice pinned to the unflipped branch)."""
+        from ldmae_tpu.data.latent_dataset import ImgLatentDataset
+
+        self._write_shards(tmp_path)
+        ref_ds = ref_latent_dataset_cls(
+            str(tmp_path), latent_norm=True, latent_multiplier=0.9654, sample=False
+        )
+        ours = ImgLatentDataset(
+            str(tmp_path), latent_norm=True, latent_multiplier=0.9654, sample=False
+        )
+        # pin the reference's 50/50 draw: uniform > 0.5 → 'latents'
+        monkeypatch.setattr(np.random, "uniform", lambda *a, **k: 0.9)
+        for idx in (0, 7, 63):
+            feat_ref, label_ref = ref_ds[idx]
+            raw = ours._raw(idx, "latents").astype(np.float32)
+            expected = (
+                (raw - ours._latent_mean[0]) / ours._latent_std[0] * 0.9654
+            )
+            np.testing.assert_allclose(
+                expected, feat_ref.numpy(), rtol=1e-5, atol=1e-6
+            )
+            assert int(ours._raw(idx, "labels")) == int(label_ref)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
