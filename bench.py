@@ -9,8 +9,9 @@ pipeline as one jitted XLA program on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is vs. an analytic A100 reference estimate of the same pipeline
-(~0.40 img/s/GPU: 155 TFLOPs/image at the ~25-30% MFU typical of the
-reference's eager-ish torch loop; BASELINE.md north star is ≥2×).
+(~0.40 img/s/GPU — 106 TFLOPs/image on the TF32 fp32 pipeline as shipped at
+~28% MFU; full derivation in BASELINE.md "A100 sampling-throughput
+estimate"; north star is ≥2×).
 """
 
 import json
@@ -84,6 +85,7 @@ def main(batch: int = 36, iters: int = 3, num_steps: int = 250):
         compute_dtype=jnp.bfloat16,
         attn_impl=os.environ.get("LDMAE_ATTN_IMPL", "flash_rope"),
         rope_layout="half",
+        adaln_impl=os.environ.get("LDMAE_ADALN_IMPL", "fused"),
     )
     sample_jit = jax.jit(sample_fn)
     bundle = {

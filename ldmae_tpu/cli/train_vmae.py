@@ -50,6 +50,9 @@ def get_args_parser():
     p.add_argument("--perceptual_loss_ratio", type=float, default=1.0)
     p.add_argument("--use_lpips", action="store_true")
     p.add_argument("--tune_decoder", action="store_true")
+    p.add_argument("--use_checkpoint", action="store_true",
+                   help="per-block remat (needed for stage-3 256² + LPIPS "
+                        "on 16 GB-HBM chips)")
     p.add_argument("--fixed_lr", action="store_true")
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--lr", type=float, default=None)
@@ -102,6 +105,7 @@ def main(args):
         norm_pix_loss=args.norm_pix_loss,
         perceptual_loss_ratio=args.perceptual_loss_ratio,
         ldmae_mode=args.tune_decoder,
+        use_checkpoint=args.use_checkpoint,
     )
     consts = VMAEConsts(spec)
     params = init_vmae_params(jax.random.key(args.seed), spec)

@@ -46,6 +46,7 @@ def make_sample_fn(
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "xla",
     rope_layout: str = "interleaved",
+    adaln_impl: str = "xla",
 ) -> Callable[..., jnp.ndarray]:
     """Build sample_fn(bundle, key, y) -> uint8 images (B, H, W, 3) when a
     VAE is configured, else denormalised latents (B, C, h, w).
@@ -79,7 +80,7 @@ def make_sample_fn(
             return dit_forward(
                 dit_params, spec, consts, x, t, y,
                 train=False, compute_dtype=compute_dtype, attn_impl=attn_impl,
-                rope_layout=rope_layout,
+                rope_layout=rope_layout, adaln_impl=adaln_impl,
             ).astype(x.dtype)
 
         def guided_fn(x, t, y):

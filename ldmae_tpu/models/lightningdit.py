@@ -316,6 +316,22 @@ def _norm(x, p, use_rmsnorm):
     return layer_norm(x, eps=1e-6)
 
 
+def _norm_modulate(x, p, shift, scale, use_rmsnorm, adaln_impl):
+    """norm → modulate; adaln_impl='fused' uses the Pallas epilogue kernel
+    (sampling path — forward-only), 'xla' the differentiable lowering."""
+    if adaln_impl == "fused" and shift is not None:
+        from ..ops.fused_adaln import fused_norm_modulate
+
+        return fused_norm_modulate(
+            x,
+            p["scale"] if use_rmsnorm else None,
+            shift,
+            scale,
+            kind="rms" if use_rmsnorm else "layer",
+        )
+    return modulate(_norm(x, p, use_rmsnorm), shift, scale)
+
+
 def _block(
     x: jnp.ndarray,
     c_mod: jnp.ndarray,
@@ -324,6 +340,7 @@ def _block(
     rope,
     attn_impl: str,
     rope_layout: str = "interleaved",
+    adaln_impl: str = "xla",
 ) -> jnp.ndarray:
     """One LightningDiT block (lightningdit.py:239-250).
 
@@ -344,7 +361,9 @@ def _block(
             mod[:, i] for i in range(6)
         ]
 
-    h = modulate(_norm(x, bp.get("norm1"), spec.use_rmsnorm), shift_msa, scale_msa)
+    h = _norm_modulate(
+        x, bp.get("norm1"), shift_msa, scale_msa, spec.use_rmsnorm, adaln_impl
+    )
     attn_out = multi_head_attention(
         h,
         bp["attn"],
@@ -356,7 +375,9 @@ def _block(
     )
     x = x + gate_msa[:, None, :].astype(x.dtype) * attn_out
 
-    h = modulate(_norm(x, bp.get("norm2"), spec.use_rmsnorm), shift_mlp, scale_mlp)
+    h = _norm_modulate(
+        x, bp.get("norm2"), shift_mlp, scale_mlp, spec.use_rmsnorm, adaln_impl
+    )
     if spec.use_swiglu:
         mlp_out = swiglu_ffn(h, bp["mlp"])
     else:
@@ -379,6 +400,7 @@ def dit_forward(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     attn_impl: str = "xla",
     rope_layout: str = "interleaved",
+    adaln_impl: str = "xla",
 ) -> jnp.ndarray:
     """Forward pass. x: (N, C, H, W) NCHW latents; t, y: (N,).
 
@@ -425,7 +447,7 @@ def dit_forward(
     )
     block_fn = partial(
         _block, spec=spec, rope=rope_tables, attn_impl=attn_impl,
-        rope_layout=rope_layout,
+        rope_layout=rope_layout, adaln_impl=adaln_impl,
     )
     if spec.use_checkpoint:
         block_fn = jax.checkpoint(block_fn)

@@ -72,6 +72,7 @@ class VMAESpec:
     pred_with_conv: bool = False
     perceptual_loss_ratio: float = 1.0
     fixed_std: Optional[float] = None
+    use_checkpoint: bool = False  # per-block remat (memory knob; see _run_blocks)
 
     @property
     def grid(self) -> int:
@@ -216,9 +217,20 @@ def _block(x: jnp.ndarray, bp: Params, num_heads: int, attn_impl: str) -> jnp.nd
     return x
 
 
-def _run_blocks(x: jnp.ndarray, blocks: Params, num_heads: int, attn_impl: str) -> jnp.ndarray:
+def _run_blocks(
+    x: jnp.ndarray, blocks: Params, num_heads: int, attn_impl: str,
+    remat: bool = False,
+) -> jnp.ndarray:
+    block_fn = _block
+    if remat:
+        # per-block rematerialisation: stage-3 training at 256² (1024 tokens)
+        # with the LPIPS VGG head needs 18.9 GB of activations unremat'd —
+        # past v5e's 15.75 GB HBM (the reference trains on 80 GB A100s and
+        # never hits this, train_ae.sh:84-106)
+        block_fn = jax.checkpoint(_block, static_argnums=(2, 3))
+
     def body(carry, bp):
-        return _block(carry, bp, num_heads, attn_impl), None
+        return block_fn(carry, bp, num_heads, attn_impl), None
 
     out, _ = jax.lax.scan(body, x, blocks)
     return out
@@ -278,7 +290,7 @@ def _encoder_tokens(
     else:
         x = x + pe[None, 1:, :]
         x = _add_cls(x, params, consts, spec)
-    x = _run_blocks(x, params["blocks"], spec.num_heads, attn_impl)
+    x = _run_blocks(x, params["blocks"], spec.num_heads, attn_impl, spec.use_checkpoint)
     return layer_norm(x, params["norm"]["scale"], params["norm"]["bias"], eps=1e-6)
 
 
@@ -299,7 +311,7 @@ def forward_encoder(
     x, mask, ids_restore = random_masking(key, x, mask_ratio)
     if not spec.no_cls:
         x = _add_cls(x, params, consts, spec)
-    x = _run_blocks(x, params["blocks"], spec.num_heads, attn_impl)
+    x = _run_blocks(x, params["blocks"], spec.num_heads, attn_impl, spec.use_checkpoint)
     x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"], eps=1e-6)
     return x, mask, ids_restore
 
@@ -317,7 +329,7 @@ def forward_decoder(
     else:
         x = unshuffle_with_mask_tokens(x, params["mask_token"], ids_restore)
     x = x + consts.decoder_pos_embed.astype(x.dtype)[None]
-    x = _run_blocks(x, params["decoder_blocks"], spec.decoder_num_heads, attn_impl)
+    x = _run_blocks(x, params["decoder_blocks"], spec.decoder_num_heads, attn_impl, spec.use_checkpoint)
     x = layer_norm(x, params["decoder_norm"]["scale"], params["decoder_norm"]["bias"], eps=1e-6)
     x = _decoder_pred(x, params["decoder_pred"], spec)
     if not spec.no_cls:
@@ -361,7 +373,7 @@ def decode(
     x = dense(x, params["decoder_embed"])
     pe = consts.decoder_pos_embed.astype(x.dtype)
     x = x + (pe[None] if spec.no_cls else pe[None, 1:, :])
-    x = _run_blocks(x, params["decoder_blocks"], spec.decoder_num_heads, attn_impl)
+    x = _run_blocks(x, params["decoder_blocks"], spec.decoder_num_heads, attn_impl, spec.use_checkpoint)
     x = layer_norm(x, params["decoder_norm"]["scale"], params["decoder_norm"]["bias"], eps=1e-6)
     x = _decoder_pred(x, params["decoder_pred"], spec)
     return unpatchify(x.astype(jnp.float32), spec.patch_size, 3)
@@ -450,7 +462,7 @@ def reconstruct(
     x = dense(x, params["decoder_embed"])
     pe = consts.decoder_pos_embed.astype(x.dtype)
     x = x + (pe[None] if spec.no_cls else pe[None, 1:, :])
-    x = _run_blocks(x, params["decoder_blocks"], spec.decoder_num_heads, attn_impl)
+    x = _run_blocks(x, params["decoder_blocks"], spec.decoder_num_heads, attn_impl, spec.use_checkpoint)
     x = layer_norm(x, params["decoder_norm"]["scale"], params["decoder_norm"]["bias"], eps=1e-6)
     x = _decoder_pred(x, params["decoder_pred"], spec)
     if not spec.no_cls:

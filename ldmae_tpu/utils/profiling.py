@@ -42,9 +42,13 @@ def dit_forward_flops(spec, batch: int, with_cfg: bool = False) -> float:
         mlp = 3 * d * spec.swiglu_hidden
     else:
         mlp = 2 * d * spec.mlp_hidden
-    per_layer_params = 4 * d * d + mlp + spec.num_adaln * d * d
+    per_layer_params = 4 * d * d + mlp
     matmul_flops = 2 * l * per_layer_params * n
     attn_flops = l * 4 * n * n * d
+    # adaLN projections act on the (B, D) conditioning vector, once per
+    # SAMPLE per layer — not per token (counting them per-token overstated
+    # B/1 FLOPs by ~46% and inflated reported MFU in round 1)
+    adaln_flops = 2 * l * spec.num_adaln * d * d
     embed = 2 * n * spec.patch_size**2 * spec.in_channels * d
-    total = (matmul_flops + attn_flops + embed) * batch
+    total = (matmul_flops + attn_flops + adaln_flops + embed) * batch
     return total * (2 if with_cfg else 1)

@@ -341,3 +341,57 @@ class TestRopePartial:
         np.testing.assert_allclose(yn[..., :2], xn[..., :2])
         np.testing.assert_allclose(yn[..., 10:], xn[..., 10:])
         assert not np.allclose(yn[..., 2:10], xn[..., 2:10])
+
+
+class TestFusedAdaLN:
+    """Pallas fused norm+modulate vs the XLA lowering (interpret mode on CPU)."""
+
+    def test_rms_kind_matches_unfused(self):
+        from ldmae_tpu.ops.fused_adaln import fused_norm_modulate
+        from ldmae_tpu.ops.norms import rms_norm
+        from ldmae_tpu.ops.linear import modulate
+
+        key = jax.random.key(0)
+        x = jax.random.normal(key, (2, 256, 64), jnp.bfloat16) * 2
+        w = jax.random.normal(jax.random.key(1), (64,), jnp.float32) * 0.3 + 1
+        shift = jax.random.normal(jax.random.key(2), (2, 64), jnp.float32)
+        scale = jax.random.normal(jax.random.key(3), (2, 64), jnp.float32)
+        ref = modulate(rms_norm(x, w), shift, scale)
+        out = fused_norm_modulate(x, w, shift, scale, kind="rms")
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=1e-2, atol=1e-2,
+        )
+
+    def test_layer_kind_matches_unfused(self):
+        from ldmae_tpu.ops.fused_adaln import fused_norm_modulate
+        from ldmae_tpu.ops.norms import layer_norm
+        from ldmae_tpu.ops.linear import modulate
+
+        x = jax.random.normal(jax.random.key(0), (3, 128, 32), jnp.float32)
+        shift = jax.random.normal(jax.random.key(2), (3, 32), jnp.float32)
+        scale = jax.random.normal(jax.random.key(3), (3, 32), jnp.float32)
+        ref = modulate(layer_norm(x, eps=1e-6), shift, scale)
+        out = fused_norm_modulate(x, None, shift, scale, kind="layer")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_dit_forward_fused_matches_xla(self):
+        from ldmae_tpu.models.lightningdit import (
+            DiTConsts, dit_forward, dit_spec, init_dit_params,
+        )
+
+        spec = dit_spec("LightningDiT-debug", input_size=8, in_channels=4,
+                        num_classes=10, use_qknorm=True, use_swiglu=True,
+                        use_rope=True, use_rmsnorm=True)
+        consts = DiTConsts(spec)
+        params = init_dit_params(jax.random.key(0), spec)
+        x = jax.random.normal(jax.random.key(1), (2, 4, 8, 8))
+        t = jnp.array([0.3, 0.8])
+        y = jnp.array([1, 5])
+        a = dit_forward(params, spec, consts, x, t, y,
+                        compute_dtype=jnp.float32, adaln_impl="xla")
+        b = dit_forward(params, spec, consts, x, t, y,
+                        compute_dtype=jnp.float32, adaln_impl="fused")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)

@@ -191,3 +191,33 @@ class TestLPIPS:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestRemat:
+    def test_checkpoint_spec_preserves_values_and_grads(self):
+        """spec.use_checkpoint must change memory use only — forward values
+        and gradients are identical."""
+        from dataclasses import replace
+        from ldmae_tpu.models.vmae import forward_vanilla
+
+        base = SPEC
+        remat = replace(SPEC, use_checkpoint=True)
+        consts = VMAEConsts(base)
+        params = init_vmae_params(jax.random.key(0), base)
+        x = jax.random.normal(jax.random.key(1), (2, 3, 16, 16))
+
+        def loss(spec):
+            def f(p):
+                return forward_vanilla(p, spec, consts, x, jax.random.key(2),
+                                       mask_ratio=0.25)["loss"]
+            return f
+
+        v1, g1 = jax.value_and_grad(loss(base))(params)
+        v2, g2 = jax.value_and_grad(loss(remat))(params)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            g1, g2,
+        )
