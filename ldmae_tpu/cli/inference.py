@@ -142,6 +142,11 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
     if params_layout != "half":
         params = permute_qk_for_half_rope(params, spec)
     params = merge_swiglu(params, spec)
+    quant = getattr(config.parallel, "quant", None)
+    if quant:
+        from ..models.lightningdit import quantize_dit_params
+
+        params = quantize_dit_params(params, spec)
     s = config.sample
     sample_fn = make_sample_fn(
         spec, consts, transport,
@@ -160,6 +165,8 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
         compute_dtype=jnp.bfloat16,
         attn_impl=config.parallel.attention_impl,
         rope_layout="half",
+        adaln_impl=getattr(config.parallel, "adaln_impl", "fused"),
+        quant_mode=quant,
     )
     bundle = {
         "dit": params,
@@ -246,6 +253,10 @@ def main():
     parser.add_argument("--demo", action="store_true")
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--skip_fid", action="store_true")
+    parser.add_argument(
+        "--quant", default=None, choices=["w8", "w8a8"],
+        help="int8-quantize the DiT for sampling (overrides parallel.quant)",
+    )
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
@@ -262,6 +273,8 @@ def main():
     config = LDMAEConfig.from_yaml(args.config)
     if args.ckpt:
         config.ckpt_path = args.ckpt
+    if args.quant:
+        config.parallel.quant = args.quant
     out_dir = do_sample(config, demo=args.demo)
 
     # FID vs the reference stats after sampling (inference.py:352-368)

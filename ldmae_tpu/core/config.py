@@ -149,6 +149,9 @@ class ParallelConfig:
     # never exists and q/k skip the rope round-trips)
     train_attention_impl: str = "flash_rope"
     rope_layout: str = "interleaved"  # 'half' = fast permuted q/k layout
+    adaln_impl: str = "fused"  # sampling: Pallas norm+modulate epilogue
+    # sampling-only int8 quantization (ops/quant.py): None | 'w8' | 'w8a8'
+    quant: Optional[str] = None
 
 
 @dataclass

@@ -47,6 +47,7 @@ def make_sample_fn(
     attn_impl: str = "xla",
     rope_layout: str = "interleaved",
     adaln_impl: str = "xla",
+    quant_mode: Optional[str] = None,
 ) -> Callable[..., jnp.ndarray]:
     """Build sample_fn(bundle, key, y) -> uint8 images (B, H, W, 3) when a
     VAE is configured, else denormalised latents (B, C, h, w).
@@ -81,6 +82,7 @@ def make_sample_fn(
                 dit_params, spec, consts, x, t, y,
                 train=False, compute_dtype=compute_dtype, attn_impl=attn_impl,
                 rope_layout=rope_layout, adaln_impl=adaln_impl,
+                quant_mode=quant_mode,
             ).astype(x.dtype)
 
         def guided_fn(x, t, y):

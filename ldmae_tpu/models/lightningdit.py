@@ -294,6 +294,52 @@ def merge_swiglu(params: Params, spec: DiTSpec) -> Params:
     return out
 
 
+def quantize_dit_params(params: Params, spec: DiTSpec) -> Params:
+    """int8-quantize the block matmul weights (qkv, mlp, adaLN) for
+    sampling — see ops/quant.py. Inference-time transform like merge_swiglu;
+    apply AFTER permute_qk_for_half_rope/merge_swiglu (it quantizes whatever
+    weight layout it finds). Embedders/final layer stay fp (tiny matmuls,
+    and the final projection sets the output's numerical floor). The
+    attention out-projection also stays fp: on v5e its int8 matmul saves
+    less than the activation-quantization pass costs (PERF.md round 2).
+
+    The stacked qkv (L, D, 3, D) and adaln (L, D, na, D) weights are
+    flattened to (L, D, out) here so the per-output-channel scales line up;
+    ``_block``/attention consume the flat layout directly when they see
+    ``w_q``.
+    """
+    from ..ops.quant import quantize_linear
+
+    d = spec.hidden_size
+    na = spec.num_adaln
+    blocks = dict(params["blocks"])
+
+    attn = dict(blocks["attn"])
+    qkv = attn["qkv"]
+    l = qkv["w"].shape[0]
+    flat_qkv = {"w": qkv["w"].reshape(l, d, 3 * d)}
+    if qkv.get("b") is not None:
+        flat_qkv["b"] = qkv["b"].reshape(l, 3 * d)
+    attn["qkv"] = quantize_linear(flat_qkv)
+    blocks["attn"] = attn
+
+    blocks["mlp"] = {
+        k: (quantize_linear(v) if "w" in v else v)
+        for k, v in blocks["mlp"].items()
+    }
+
+    adaln = blocks["adaln"]
+    flat_adaln = {
+        "w": adaln["w"].reshape(l, d, na * d),
+        "b": adaln["b"].reshape(l, na * d),
+    }
+    blocks["adaln"] = quantize_linear(flat_adaln)
+
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -341,6 +387,7 @@ def _block(
     attn_impl: str,
     rope_layout: str = "interleaved",
     adaln_impl: str = "xla",
+    quant_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """One LightningDiT block (lightningdit.py:239-250).
 
@@ -351,7 +398,12 @@ def _block(
     """
     d = spec.hidden_size
     na = spec.num_adaln
-    mod = dense(c_mod, {"w": bp["adaln"]["w"].reshape(d, na * d), "b": bp["adaln"]["b"].reshape(na * d)})
+    if "w_q" in bp["adaln"]:
+        from ..ops.quant import qdense
+
+        mod = qdense(c_mod, bp["adaln"], mode=quant_mode or "w8a8")
+    else:
+        mod = dense(c_mod, {"w": bp["adaln"]["w"].reshape(d, na * d), "b": bp["adaln"]["b"].reshape(na * d)})
     mod = mod.reshape(-1, na, d)
     if spec.wo_shift:
         scale_msa, gate_msa, scale_mlp, gate_mlp = [mod[:, i] for i in range(4)]
@@ -360,6 +412,46 @@ def _block(
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
             mod[:, i] for i in range(6)
         ]
+
+    # w8a8 + fused epilogue: the adaLN kernel emits the int8 activation and
+    # row scales directly (no bf16 h in HBM, no standalone quantization
+    # pass) and the int8 matmuls ride the MXU's 2x int8 rate.
+    fused_quant = (
+        quant_mode == "w8a8"
+        and adaln_impl == "fused"
+        and shift_msa is not None
+        and "w_q" in bp["attn"]["qkv"]
+        and "w12" in bp["mlp"]
+    )
+    if fused_quant:
+        from ..ops.fused_adaln import fused_norm_modulate_quant
+        from ..ops.quant import swiglu_ffn_quant
+
+        kind = "rms" if spec.use_rmsnorm else "layer"
+        norm1 = bp.get("norm1")
+        h_q, h_s = fused_norm_modulate_quant(
+            x, norm1["scale"] if norm1 else None, shift_msa, scale_msa, kind=kind
+        )
+        attn_out = multi_head_attention(
+            None,
+            bp["attn"],
+            spec.num_heads,
+            rope=rope,
+            rope_layout=rope_layout,
+            qk_norm_kind=kind,
+            impl=attn_impl,
+            x_quant=(h_q, h_s),
+            out_dtype=x.dtype,
+        )
+        x = x + gate_msa[:, None, :].astype(x.dtype) * attn_out
+
+        norm2 = bp.get("norm2")
+        h_q, h_s = fused_norm_modulate_quant(
+            x, norm2["scale"] if norm2 else None, shift_mlp, scale_mlp, kind=kind
+        )
+        mlp_out = swiglu_ffn_quant(h_q, h_s, bp["mlp"], compute_dtype=x.dtype)
+        x = x + gate_mlp[:, None, :].astype(x.dtype) * mlp_out
+        return x
 
     h = _norm_modulate(
         x, bp.get("norm1"), shift_msa, scale_msa, spec.use_rmsnorm, adaln_impl
@@ -372,6 +464,7 @@ def _block(
         rope_layout=rope_layout,
         qk_norm_kind="rms" if spec.use_rmsnorm else "layer",
         impl=attn_impl,
+        quant_mode=quant_mode,
     )
     x = x + gate_msa[:, None, :].astype(x.dtype) * attn_out
 
@@ -379,9 +472,9 @@ def _block(
         x, bp.get("norm2"), shift_mlp, scale_mlp, spec.use_rmsnorm, adaln_impl
     )
     if spec.use_swiglu:
-        mlp_out = swiglu_ffn(h, bp["mlp"])
+        mlp_out = swiglu_ffn(h, bp["mlp"], quant_mode=quant_mode)
     else:
-        mlp_out = mlp_gelu(h, bp["mlp"], approximate=True)
+        mlp_out = mlp_gelu(h, bp["mlp"], approximate=True, quant_mode=quant_mode)
     x = x + gate_mlp[:, None, :].astype(x.dtype) * mlp_out
     return x
 
@@ -401,11 +494,15 @@ def dit_forward(
     attn_impl: str = "xla",
     rope_layout: str = "interleaved",
     adaln_impl: str = "xla",
+    quant_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """Forward pass. x: (N, C, H, W) NCHW latents; t, y: (N,).
 
     rope_layout='half' requires params transformed by
     permute_qk_for_half_rope (exact same function, faster rope on TPU).
+
+    quant_mode ('w8' | 'w8a8') requires params transformed by
+    quantize_dit_params (inference only).
 
     Returns (N, out_channels or in_channels, H, W) in float32.
     """
@@ -447,7 +544,7 @@ def dit_forward(
     )
     block_fn = partial(
         _block, spec=spec, rope=rope_tables, attn_impl=attn_impl,
-        rope_layout=rope_layout, adaln_impl=adaln_impl,
+        rope_layout=rope_layout, adaln_impl=adaln_impl, quant_mode=quant_mode,
     )
     if spec.use_checkpoint:
         block_fn = jax.checkpoint(block_fn)

@@ -80,20 +80,44 @@ def multi_head_attention(
     rope_layout: str = "interleaved",
     qk_norm_kind: str = "rms",
     impl: str = "xla",
+    quant_mode: Optional[str] = None,
+    x_quant: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,
+    out_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Full attention module: qkv proj -> [qk-norm] -> [rope] -> sdpa -> proj.
 
     x: (B, N, D). Returns (B, N, D) in x.dtype.
-    """
-    b, n, d = x.shape
-    hd = d // num_heads
-    dtype = x.dtype
 
-    w = p["qkv"]["w"].reshape(d, 3 * d).astype(dtype)
-    qkv = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    bias = p["qkv"].get("b")
-    if bias is not None:
-        qkv = qkv + bias.reshape(3 * d).astype(jnp.float32)
+    x_quant: optional (int8 x, fp32 row scales) from a fused producer kernel
+    — used for the qkv matmul instead of x when the qkv weights are
+    quantized (the w8a8 fused sampling path). x may then be None (the block
+    never materialises the bf16 activation); out_dtype sets the compute/
+    output dtype (default bfloat16).
+    """
+    if x is None:
+        assert x_quant is not None
+        b, n, d = x_quant[0].shape
+        dtype = out_dtype or jnp.bfloat16
+    else:
+        b, n, d = x.shape
+        dtype = x.dtype
+    hd = d // num_heads
+
+    if "w_q" in p["qkv"] and x_quant is not None:
+        from .quant import qdense_pre
+
+        qkv = qdense_pre(x_quant[0], x_quant[1], p["qkv"], compute_dtype=dtype)
+    elif "w_q" in p["qkv"]:
+        # quantized layout (ops/quant.py): weights pre-flattened to (D, 3D)
+        from .quant import qdense
+
+        qkv = qdense(x, p["qkv"], mode=quant_mode or "w8a8")
+    else:
+        w = p["qkv"]["w"].reshape(d, 3 * d).astype(dtype)
+        qkv = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        bias = p["qkv"].get("b")
+        if bias is not None:
+            qkv = qkv + bias.reshape(3 * d).astype(jnp.float32)
     qkv = qkv.astype(dtype).reshape(b, n, 3, num_heads, hd)
 
     if rope is not None and rope_layout == "half" and impl == "flash_fused":
@@ -109,9 +133,9 @@ def multi_head_attention(
         k = _apply_head_norm(k, p.get("k_norm"), qk_norm_kind)
         cos, sin = rope
         out = flash_attention_fused_rope(q, k, v, cos, sin).reshape(b, n, d)
-        from .linear import dense
+        from .quant import maybe_qdense
 
-        return dense(out, p["proj"], compute_dtype=dtype)
+        return maybe_qdense(out, p["proj"], quant_mode, compute_dtype=dtype)
 
     q, k, v = (
         qkv[:, :, 0].transpose(0, 2, 1, 3),
@@ -134,9 +158,9 @@ def multi_head_attention(
             q, k, v, p["q_norm"]["scale"], p["k_norm"]["scale"], cos, sin
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
-        from .linear import dense
+        from .quant import maybe_qdense
 
-        return dense(out, p["proj"], compute_dtype=dtype)
+        return maybe_qdense(out, p["proj"], quant_mode, compute_dtype=dtype)
 
     q = _apply_head_norm(q, p.get("q_norm"), qk_norm_kind)
     k = _apply_head_norm(k, p.get("k_norm"), qk_norm_kind)
@@ -157,6 +181,6 @@ def multi_head_attention(
         out = sdpa(q, k, v, impl=impl)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
 
-    from .linear import dense
+    from .quant import maybe_qdense
 
-    return dense(out, p["proj"], compute_dtype=dtype)
+    return maybe_qdense(out, p["proj"], quant_mode, compute_dtype=dtype)

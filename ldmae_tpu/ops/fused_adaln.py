@@ -52,6 +52,112 @@ def _pick_block_n(n: int) -> int:
     return n
 
 
+def _kernel_quant(
+    x_ref, w_ref, shift_ref, scale_ref, o_ref, s_ref, *, eps: float, kind: str
+):
+    """Same epilogue, but emits int8 per-row-quantized output + fp32 row
+    scales (ops/quant.py convention) — the activation quantization for the
+    w8a8 sampling path rides the pass the epilogue already makes, so it is
+    HBM-free (PERF.md round 2: a standalone XLA quantization pass costs more
+    than the int8 matmul saves)."""
+    x = x_ref[0]  # (bn, D)
+    b = pl.program_id(0)
+    xf = x.astype(jnp.float32)
+    if kind == "layer":
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + eps)
+    else:
+        y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        y = y * w_ref[0].astype(jnp.float32)
+    o = y * (1.0 + scale_ref[b].astype(jnp.float32)[None, :])
+    o = o + shift_ref[b].astype(jnp.float32)[None, :]
+    qs = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True) / 127.0, 1e-8)
+    o_ref[0] = jnp.round(o / qs).astype(jnp.int8)
+    s_ref[0] = qs
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "eps"))
+def fused_norm_modulate_quant(
+    x: jnp.ndarray,
+    weight: jnp.ndarray | None,
+    shift: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    kind: str = "rms",
+    eps: float = 1e-6,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantizing variant: returns (int8 (B, N, D), fp32 row scales (B, N, 1))
+    such that o_q * scales ~= fused_norm_modulate(x, ...)."""
+    b, n, d = x.shape
+    bn = _pick_block_n(n)
+    if weight is None:
+        weight = jnp.ones((d,), jnp.float32)
+    w2 = weight.reshape(1, d).astype(jnp.float32)
+    grid = (b, n // bn)
+    o_q, s = pl.pallas_call(
+        functools.partial(_kernel_quant, eps=eps, kind=kind),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, d), jnp.int8),
+            # 3D (B, N, 1) so the trailing block dims satisfy the TPU
+            # (8, 128)-or-full tiling rule
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bn, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((b, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((b, d), lambda i, j: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bn, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bn, 1), lambda i, j: (i, j, 0)),
+        ),
+        interpret=_interpret(),
+    )(x, w2, shift.astype(jnp.float32), scale.astype(jnp.float32))
+    return o_q, s
+
+
+def _kernel_silu_mul_quant(x12_ref, o_ref, s_ref):
+    """hidden = silu(x1) * x2 (ops.linear.swiglu_ffn merged layout), emitted
+    int8-quantized per row — the w3 input quantization rides the gating
+    elementwise pass."""
+    x12 = x12_ref[0].astype(jnp.float32)  # (bn, 2H)
+    h = x12.shape[-1] // 2
+    x1, x2 = x12[:, :h], x12[:, h:]
+    o = (x1 * jax.nn.sigmoid(x1)) * x2
+    qs = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True) / 127.0, 1e-8)
+    o_ref[0] = jnp.round(o / qs).astype(jnp.int8)
+    s_ref[0] = qs
+
+
+@jax.jit
+def fused_silu_mul_quant(x12: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """x12: (B, N, 2H) packed SwiGLU pre-activation. Returns
+    (int8 (B, N, H), fp32 row scales (B, N, 1))."""
+    b, n, h2 = x12.shape
+    h = h2 // 2
+    bn = 256 if n % 256 == 0 else _pick_block_n(n)
+    grid = (b, n // bn)
+    o_q, s = pl.pallas_call(
+        _kernel_silu_mul_quant,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, h), jnp.int8),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, bn, h2), lambda i, j: (i, j, 0))],
+        out_specs=(
+            pl.BlockSpec((1, bn, h), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bn, 1), lambda i, j: (i, j, 0)),
+        ),
+        interpret=_interpret(),
+    )(x12)
+    return o_q, s
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "eps"))
 def fused_norm_modulate(
     x: jnp.ndarray,

@@ -33,18 +33,31 @@ def dense(x: jnp.ndarray, p: Params, compute_dtype: Optional[jnp.dtype] = None) 
     return out.astype(compute_dtype)
 
 
-def mlp_gelu(x: jnp.ndarray, p: Params, approximate: bool = False) -> jnp.ndarray:
+def _dense_any(x: jnp.ndarray, p: Params, quant_mode: Optional[str]) -> jnp.ndarray:
+    """dense() over either a full-precision or a quantized (ops/quant.py)
+    linear param dict."""
+    if "w_q" in p:
+        from .quant import qdense
+
+        return qdense(x, p, mode=quant_mode or "w8a8")
+    return dense(x, p)
+
+
+def mlp_gelu(
+    x: jnp.ndarray, p: Params, approximate: bool = False,
+    quant_mode: Optional[str] = None,
+) -> jnp.ndarray:
     """timm-style Mlp: fc1 -> GELU -> fc2.
 
     VMAE blocks use exact GELU (timm default); DiT's non-SwiGLU path uses
     tanh-approximate GELU (lightningdit.py:214).
     """
-    h = dense(x, p["fc1"])
+    h = _dense_any(x, p["fc1"], quant_mode)
     h = jax.nn.gelu(h, approximate=approximate)
-    return dense(h, p["fc2"])
+    return _dense_any(h, p["fc2"], quant_mode)
 
 
-def swiglu_ffn(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+def swiglu_ffn(x: jnp.ndarray, p: Params, quant_mode: Optional[str] = None) -> jnp.ndarray:
     """SwiGLU FFN matching swiglu_ffn.py:31-36.
 
     The torch module packs w1/w2 into one ``w12`` Linear and chunks the
@@ -55,14 +68,14 @@ def swiglu_ffn(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     one (D, 2H) matmul instead of two (D, H) ones.
     """
     if "w12" in p:
-        x12 = dense(x, p["w12"])
+        x12 = _dense_any(x, p["w12"], quant_mode)
         h = x12.shape[-1] // 2
         hidden = jax.nn.silu(x12[..., :h]) * x12[..., h:]
-        return dense(hidden, p["w3"])
-    x1 = dense(x, p["w1"])
-    x2 = dense(x, p["w2"])
+        return _dense_any(hidden, p["w3"], quant_mode)
+    x1 = _dense_any(x, p["w1"], quant_mode)
+    x2 = _dense_any(x, p["w2"], quant_mode)
     hidden = jax.nn.silu(x1) * x2
-    return dense(hidden, p["w3"])
+    return _dense_any(hidden, p["w3"], quant_mode)
 
 
 def modulate(x: jnp.ndarray, shift: Optional[jnp.ndarray], scale: jnp.ndarray) -> jnp.ndarray:

@@ -112,10 +112,14 @@ class TestWarmStart:
             np.asarray(loaded["t_embedder"]["fc1"]["w"]),
         )
 
-    def test_x_embedder_channel_slice(self):
-        """The reference slices x_embedder.proj.weight[:, :16] when the
-        loaded ckpt has more input channels (train_accum.py:308-334). Our
-        layout slices rows of (p*p*C, D)."""
+    def test_x_embedder_shape_mismatch_falls_back(self):
+        """The reference's x_embedder.proj.weight[:, :16] channel slice
+        (train_accum.py:308-334) happens at IMPORT time on the conv channel
+        axis (_patch_embed; a row slice of the flattened (p·p·C, D) weight is
+        only equivalent at p=1 — see test_fullsize_import.py
+        test_warm_start_channel_slice for the end-to-end check). The filter
+        itself must treat any leftover shape mismatch as skip-and-keep-init
+        (train_accum.py:320-326)."""
         from ldmae_tpu.train.torch_import import warm_start_filter
 
         spec = DiTSpec(
@@ -124,9 +128,12 @@ class TestWarmStart:
         )
         init = init_dit_params(jax.random.key(0), spec)
         bigger = {"x_embedder": {
-            "w": jnp.ones((2 * 2 * 8, 32)),  # 8 channels vs 4
-            "b": jnp.zeros((32,)),
+            "w": jnp.ones((2 * 2 * 8, 32)),  # 8 channels vs 4: mismatched
+            "b": jnp.full((32,), 7.0),       # matched: taken
         }}
         out = warm_start_filter(init, bigger)
         assert out["x_embedder"]["w"].shape == (16, 32)
-        np.testing.assert_allclose(np.asarray(out["x_embedder"]["w"]), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(out["x_embedder"]["w"]), np.asarray(init["x_embedder"]["w"])
+        )
+        np.testing.assert_allclose(np.asarray(out["x_embedder"]["b"]), 7.0)
