@@ -70,6 +70,9 @@ class ModelConfig:
     in_chans: int = 16
     learn_sigma: bool = False
     use_checkpoint: bool = False  # remat
+    # remat granularity: 'full' (min HBM) | 'dots' (save matmul/attention
+    # outputs; backward recomputes only elementwise ops)
+    remat_policy: str = "full"
 
 
 @dataclass

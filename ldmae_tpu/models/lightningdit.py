@@ -63,6 +63,13 @@ class DiTSpec:
     wo_shift: bool = False
     use_checkpoint: bool = False
     freq_embed_size: int = 256
+    # remat granularity when use_checkpoint (trades HBM for recompute):
+    #   'full'  — save only block boundaries, recompute everything (min HBM)
+    #   'attn'  — additionally save the flash-attention outputs (~B·N·D per
+    #             block): the backward never re-runs the attention kernel
+    #   'dots'  — save all matmul outputs too; the backward only recomputes
+    #             cheap elementwise ops (largest HBM footprint)
+    remat_policy: str = "full"
 
     @property
     def out_channels(self) -> int:
@@ -466,6 +473,9 @@ def _block(
         impl=attn_impl,
         quant_mode=quant_mode,
     )
+    from jax.ad_checkpoint import checkpoint_name
+
+    attn_out = checkpoint_name(attn_out, "attn_out")
     x = x + gate_msa[:, None, :].astype(x.dtype) * attn_out
 
     h = _norm_modulate(
@@ -547,7 +557,19 @@ def dit_forward(
         rope_layout=rope_layout, adaln_impl=adaln_impl, quant_mode=quant_mode,
     )
     if spec.use_checkpoint:
-        block_fn = jax.checkpoint(block_fn)
+        if spec.remat_policy == "dots":
+            # matmul outputs are saved; the Pallas flash-attention output is
+            # not a dot_general so it must be named to be saveable
+            policy = jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names("attn_out"),
+            )
+            block_fn = jax.checkpoint(block_fn, policy=policy)
+        elif spec.remat_policy == "attn":
+            policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+            block_fn = jax.checkpoint(block_fn, policy=policy)
+        else:
+            block_fn = jax.checkpoint(block_fn)
 
     def scan_body(carry, bp):
         return block_fn(carry, c_mod, bp), None

@@ -145,6 +145,7 @@ def build_from_config(config: LDMAEConfig, key: jax.Array):
         use_rmsnorm=m.use_rmsnorm,
         wo_shift=m.wo_shift,
         use_checkpoint=config.train.use_checkpoint or m.use_checkpoint,
+        remat_policy=getattr(m, "remat_policy", "full"),
     )
     consts = DiTConsts(spec)
     params = init_dit_params(key, spec)

@@ -10,10 +10,11 @@ from ldmae_tpu.train.train_dit import make_optimizer, make_train_step
 from ldmae_tpu.transport import create_transport
 from ldmae_tpu.utils.profiling import dit_forward_flops
 
-def run(batch, attn, rope_layout="interleaved"):
+def run(batch, attn, rope_layout="interleaved", remat="full"):
     spec = dit_spec("LightningDiT-B/1", input_size=32, in_channels=16,
                     num_classes=1000, use_qknorm=True, use_swiglu=True,
-                    use_rope=True, use_rmsnorm=True, use_checkpoint=True)
+                    use_rope=True, use_rmsnorm=True, use_checkpoint=True,
+                    remat_policy=remat)
     consts = DiTConsts(spec)
     params = init_dit_params(jax.random.key(0), spec)
     transport = create_transport("Linear", "velocity", use_lognorm=True)
@@ -38,8 +39,9 @@ def run(batch, attn, rope_layout="interleaved"):
     jax.block_until_ready(m["loss"])
     dt = (time.time() - t0) / iters
     flops = 3 * dit_forward_flops(spec, batch)  # fwd + ~2x bwd
-    print(f"train step b={batch} attn={attn} rope={rope_layout}: {dt*1000:.1f} ms, "
-          f"{batch/dt:.1f} img/s, ~{flops/dt/1e12:.0f} TF/s ({flops/dt/197e12*100:.0f}% MFU)",
+    print(f"train step b={batch} attn={attn} rope={rope_layout} remat={remat}: "
+          f"{dt*1000:.1f} ms, {batch/dt:.1f} img/s, "
+          f"~{flops/dt/1e12:.0f} TF/s ({flops/dt/197e12*100:.0f}% MFU)",
           flush=True)
 
 if __name__ == "__main__":
@@ -47,6 +49,14 @@ if __name__ == "__main__":
 
     if len(sys.argv) > 1 and sys.argv[1] == "half":
         run(32, "flash", rope_layout="half")
+    elif len(sys.argv) > 1 and sys.argv[1] == "remat":
+        # remat-policy sweep at the production config (flash_rope + half)
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+        for remat in ("full", "attn", "dots"):
+            try:
+                run(batch, "flash_rope", rope_layout="half", remat=remat)
+            except Exception as e:  # OOM at larger batches is informative
+                print(f"remat={remat} b={batch}: {type(e).__name__}: {str(e)[:200]}")
     else:
         run(32, "flash")
         run(32, "xla")
