@@ -53,6 +53,14 @@ def main(batch: int = 36, iters: int = 3, num_steps: int = 250):
     from ldmae_tpu.models.lightningdit import merge_swiglu, permute_qk_for_half_rope
 
     params = merge_swiglu(permute_qk_for_half_rope(params, spec), spec)
+    # opt-in int8 sampling (ops/quant.py): LDMAE_QUANT=w8|w8a8. The headline
+    # stays bf16 — int8 changes output numerics (PSNR 46.5 dB vs bf16,
+    # EVAL_NOTES.md) and its FID impact needs real weights to validate.
+    quant_mode = os.environ.get("LDMAE_QUANT") or None
+    if quant_mode:
+        from ldmae_tpu.models.lightningdit import quantize_dit_params
+
+        params = quantize_dit_params(params, spec)
 
     vspec = vmae_spec(
         "mae_for_ldmae_f8d16_prev",
@@ -86,6 +94,7 @@ def main(batch: int = 36, iters: int = 3, num_steps: int = 250):
         attn_impl=os.environ.get("LDMAE_ATTN_IMPL", "flash_rope"),
         rope_layout="half",
         adaln_impl=os.environ.get("LDMAE_ADALN_IMPL", "fused"),
+        quant_mode=quant_mode,
     )
     sample_jit = jax.jit(sample_fn)
     bundle = {

@@ -96,6 +96,10 @@ def dit_param_spec(
         # blocks leaves carry a leading layer axis
         lead = [None] if "blocks" in keys else []
         inner = list(lead) + list(inner)
+        if len(inner) != ndim:
+            # rule written for a different layout of this leaf (e.g. the
+            # quantized/flattened variants) — replicate rather than crash
+            return P()
         # divisibility guard: drop axes that don't divide the dim
         for i, ax in enumerate(inner):
             if ax is not None and leaf.shape[i] % axis_size(ax) != 0:
@@ -103,6 +107,14 @@ def dit_param_spec(
         return P(*inner)
 
     if tp:
+        # quantized sampling layouts (ops/quant.py): w_q (L, D, out) with
+        # per-out-channel w_scale (L, out); out-dim sharding mirrors the fp
+        # rule. The merged SwiGLU w12 packs [w1|w2] along out, which tp
+        # would split across the gate — replicated (falls through).
+        if "qkv/w_q" in name:
+            return spec(None, "tp")
+        if "qkv/w_scale" in name:
+            return spec("tp")
         # attention: qkv out-dim over tp (head aligned), proj in-dim over tp
         if "qkv/w" in name:
             return spec(None, None, "tp")

@@ -63,3 +63,46 @@ class TestShardedSampling:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestShardedQuantSampling:
+    def test_quantized_params_shard_and_sample(self):
+        """int8-quantized sampling params (ops/quant.py layouts: w_q/w_scale,
+        flat qkv/adaln) must pass the sharding rules (explicit tp rule for
+        qkv/w_q, defensive replication elsewhere) and sample correctly on a
+        dp x tp mesh."""
+        from ldmae_tpu.models.lightningdit import (
+            merge_swiglu, permute_qk_for_half_rope, quantize_dit_params,
+        )
+
+        mesh = create_mesh(dp=4, tp=2)
+        spec = DiTSpec(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=8, use_qknorm=True, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        consts = DiTConsts(spec)
+        params = init_dit_params(jax.random.key(0), spec)
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.05 * jax.random.normal(jax.random.key(9), p.shape), params
+        )
+        params = merge_swiglu(permute_qk_for_half_rope(params, spec), spec)
+        qparams = quantize_dit_params(params, spec)
+
+        fn = make_sample_fn(
+            spec, consts, transport=create_transport("Linear", "velocity"),
+            num_steps=4, cfg_scale=4.0, cfg_interval=True,
+            cfg_interval_start=0.1, compute_dtype=jnp.float32,
+            rope_layout="half", quant_mode="w8a8",
+        )
+        ref = jax.jit(fn)({"dit": qparams}, jax.random.key(1),
+                          jnp.arange(16, dtype=jnp.int32) % 8)
+
+        qsh = shard_params(mesh, qparams, use_tp=True)
+        y = jax.device_put(
+            jnp.arange(16, dtype=jnp.int32) % 8,
+            NamedSharding(mesh, P(("dp", "fsdp"))),
+        )
+        out = jax.jit(fn)({"dit": qsh}, jax.random.key(1), y)
+        assert out.shape == (16, 4, 8, 8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
