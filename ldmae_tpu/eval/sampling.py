@@ -48,6 +48,7 @@ def make_sample_fn(
     rope_layout: str = "interleaved",
     adaln_impl: str = "xla",
     quant_mode: Optional[str] = None,
+    cfg_phase_split: bool = True,
 ) -> Callable[..., jnp.ndarray]:
     """Build sample_fn(bundle, key, y) -> uint8 images (B, H, W, 3) when a
     VAE is configured, else denormalised latents (B, C, h, w).
@@ -58,21 +59,42 @@ def make_sample_fn(
     with null label = num_classes (inference.py:277-282).
     """
     sampler = Sampler(transport)
+    use_cfg = cfg_scale > 1.0
+    ode_fn = sde_fn = None
+    phase1_fn = phase2_fn = None
     if mode.upper() == "SDE":
         sde_fn = sampler.sample_sde(
             sampling_method=sampling_method.capitalize(),
             num_steps=num_steps,
             last_step=sde_last_step,
         )
-        ode_fn = None
     else:
         ode_fn = sampler.sample_ode(
             sampling_method=sampling_method,
             num_steps=num_steps,
             timestep_shift=timestep_shift,
         )
-        sde_fn = None
-    use_cfg = cfg_scale > 1.0
+        if (
+            cfg_phase_split and use_cfg and cfg_interval
+            and sampling_method == "euler" and cfg_interval_start is not None
+        ):
+            # Guidance is inactive below cfg_interval_start (forward_with_cfg
+            # discards the uncond half there), and the Euler grid is static —
+            # so the leading sub-threshold steps can run at single batch and
+            # the doubling happens at the phase boundary. Numerically
+            # identical; with timestep_shift 0.3 / start 0.10 this skips
+            # ~27% of the uncond forwards (PERF.md round 2).
+            import numpy as np
+
+            grid = sampler.ode_time_grid(num_steps, timestep_shift)
+            n1 = int(np.searchsorted(grid[:-1], cfg_interval_start))
+            if 0 < n1 < num_steps - 1:
+                phase1_fn = sampler.sample_ode(
+                    sampling_method="euler", t_grid=grid[: n1 + 1]
+                )
+                phase2_fn = sampler.sample_ode(
+                    sampling_method="euler", t_grid=grid[n1:]
+                )
 
     def sample_fn(bundle: Dict[str, Any], key: jax.Array, y: jnp.ndarray) -> jnp.ndarray:
         dit_params = bundle["dit"]
@@ -114,11 +136,17 @@ def make_sample_fn(
             return ode_fn(z0, fn, y=y_arg)
 
         if use_cfg:
-            z = jnp.concatenate([z, z], axis=0)
             y_null = jnp.full((b,), spec.num_classes, dtype=y.dtype)
             y_all = jnp.concatenate([y, y_null], axis=0)
-            samples = integrate(z, guided_fn, y_all)
-            samples = samples[:b]
+            if phase1_fn is not None:
+                # sub-threshold steps: cond-only at single batch
+                z1 = phase1_fn(z, model_fn, y=y)
+                z2 = jnp.concatenate([z1, z1], axis=0)
+                samples = phase2_fn(z2, guided_fn, y=y_all)[:b]
+            else:
+                z = jnp.concatenate([z, z], axis=0)
+                samples = integrate(z, guided_fn, y_all)
+                samples = samples[:b]
         else:
             samples = integrate(z, model_fn, y)
 

@@ -165,6 +165,20 @@ class Sampler:
         self.drift = transport.get_drift()
         self.score = transport.get_score()
 
+    def ode_time_grid(
+        self, num_steps: int, timestep_shift: float = 0.0, reverse: bool = False
+    ) -> np.ndarray:
+        """The static grid sample_ode would integrate over (host numpy)."""
+        t0, t1 = self.transport.check_interval(
+            self.transport.train_eps,
+            self.transport.sample_eps,
+            sde=False,
+            eval=True,
+            reverse=reverse,
+            last_step_size=0.0,
+        )
+        return make_time_grid(t0, t1, num_steps, timestep_shift)
+
     def sample_ode(
         self,
         *,
@@ -175,6 +189,7 @@ class Sampler:
         reverse: bool = False,
         timestep_shift: float = 0.0,
         return_trajectory: bool = False,
+        t_grid: Optional[np.ndarray] = None,
     ):
         """Return sample_fn(x, model_fn, **model_kwargs) -> final state.
 
@@ -182,6 +197,9 @@ class Sampler:
         them (the reference's production path is euler/250 which is fixed).
         dopri5 dispatches to the adaptive lax.while_loop solver
         (ldmae_tpu.transport.adaptive).
+
+        t_grid overrides the internally-built grid (used by the phased-CFG
+        sampling pipeline to integrate sub-ranges of the full grid).
         """
         base_drift = self.drift
         if reverse:
@@ -191,15 +209,17 @@ class Sampler:
         else:
             drift = base_drift
 
-        t0, t1 = self.transport.check_interval(
-            self.transport.train_eps,
-            self.transport.sample_eps,
-            sde=False,
-            eval=True,
-            reverse=reverse,
-            last_step_size=0.0,
-        )
-        t_grid = jnp.asarray(make_time_grid(t0, t1, num_steps, timestep_shift))
+        if t_grid is None:
+            t0, t1 = self.transport.check_interval(
+                self.transport.train_eps,
+                self.transport.sample_eps,
+                sde=False,
+                eval=True,
+                reverse=reverse,
+                last_step_size=0.0,
+            )
+            t_grid = make_time_grid(t0, t1, num_steps, timestep_shift)
+        t_grid = jnp.asarray(t_grid)
 
         if sampling_method == "dopri5":
             from .adaptive import dopri5

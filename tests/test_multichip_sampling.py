@@ -106,3 +106,47 @@ class TestShardedQuantSampling:
         out = jax.jit(fn)({"dit": qsh}, jax.random.key(1), y)
         assert out.shape == (16, 4, 8, 8)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+class TestPhasedCFG:
+    def _build(self, phased):
+        spec = DiTSpec(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=8, use_qknorm=True, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        consts = DiTConsts(spec)
+        params = init_dit_params(jax.random.key(0), spec)
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.05 * jax.random.normal(jax.random.key(9), p.shape), params
+        )
+        fn = make_sample_fn(
+            spec, consts, create_transport("Linear", "velocity"),
+            num_steps=16, sampling_method="euler", timestep_shift=0.3,
+            cfg_scale=4.0, cfg_interval=True, cfg_interval_start=0.10,
+            cfg_channels=3, compute_dtype=jnp.float32,
+            cfg_phase_split=phased,
+        )
+        return fn, params
+
+    def test_phase_split_numerically_identical(self):
+        """The two-phase CFG scan (single batch below cfg_interval_start,
+        doubled above — the uncond half is discarded there anyway, see
+        forward_with_cfg) must reproduce the single-scan result exactly."""
+        y = jnp.arange(6, dtype=jnp.int32) % 8
+        fn_ref, params = self._build(phased=False)
+        fn_ph, _ = self._build(phased=True)
+        ref = jax.jit(fn_ref)({"dit": params}, jax.random.key(1), y)
+        out = jax.jit(fn_ph)({"dit": params}, jax.random.key(1), y)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_grid_split_point(self):
+        """With shift 0.3 and start 0.10, t' < 0.1 ⇔ t < 10/37 — about 27%
+        of the eval nodes run unguided."""
+        import numpy as np
+
+        from ldmae_tpu.transport.samplers import make_time_grid
+
+        grid = make_time_grid(0.0, 1.0, 250, 0.3)
+        n1 = int(np.searchsorted(grid[:-1], 0.10))
+        assert 60 <= n1 <= 72, n1
