@@ -75,15 +75,21 @@ def main():
         print("WARNING: no tokenizer weights found, using random init")
 
     from ..ops.gaussian import diagonal_gaussian
+    from ..utils.prefetch import Prefetcher
 
     @jax.jit
-    def encode_batch(imgs):
+    def encode_both(imgs):
+        # the reference decodes every image twice (an unflipped and a flipped
+        # ImageFolder, extract_features.py:107-110); the extraction transform
+        # flips AFTER the ADM center-crop, so flipping the cropped tensor on
+        # device is exact — one host decode, one doubled-batch encode
+        both = jnp.concatenate([imgs, imgs[..., ::-1]], axis=0)
         moments = vmae_mod.ldmae_encode_moments(
-            params, vspec, consts, imgs, compute_dtype=jnp.bfloat16
+            params, vspec, consts, both, compute_dtype=jnp.bfloat16
         )
-        if store_moments:
-            return moments  # raw 32-ch moments (extract_features.py:148-150)
-        return diagonal_gaussian(moments, axis=1).mode()
+        out = moments if store_moments else diagonal_gaussian(moments, axis=1).mode()
+        half = out.shape[0] // 2
+        return out[:half], out[half:]
 
     dataset = ImageFolderDataset(config.data.origin_path, config.data.image_size)
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
@@ -91,20 +97,28 @@ def main():
 
     rank, world = jax.process_index(), jax.process_count()
     writer = LatentShardWriter(out_dir, rank=rank, shard_size=10000)
-    it_plain = dataset.iter_batches(args.batch, hflip=False, process_index=rank, process_count=world)
-    it_flip = dataset.iter_batches(args.batch, hflip=True, process_index=rank, process_count=world)
+    it = Prefetcher(
+        dataset.iter_batches(args.batch, hflip=False, process_index=rank, process_count=world),
+        buffer_size=4,
+    )
 
     t0 = time.time()
     done = 0
-    for (imgs, labels, idxs), (imgs_f, _, _) in zip(it_plain, it_flip):
+    pending = None  # one batch in flight: host writes overlap device encode
+    for imgs, labels, idxs in it:
         if done >= n:
             break
-        lat = np.asarray(encode_batch(jnp.asarray(imgs)))
-        lat_f = np.asarray(encode_batch(jnp.asarray(imgs_f)))
-        writer.add(lat, lat_f, labels)
+        lat, lat_f = encode_both(jnp.asarray(imgs))
+        if pending is not None:
+            plat, plat_f, plabels = pending
+            writer.add(np.asarray(plat), np.asarray(plat_f), plabels)
+        pending = (lat, lat_f, labels)
         done += len(labels)
         if done % (args.batch * 10) < args.batch:
             print(f"[rank {rank}] {done}/{n} ({done / (time.time() - t0):.1f} img/s)")
+    if pending is not None:
+        plat, plat_f, plabels = pending
+        writer.add(np.asarray(plat), np.asarray(plat_f), plabels)
     writer.flush()
 
     if rank == 0:

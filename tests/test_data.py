@@ -82,3 +82,22 @@ class TestShards:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestDeviceSideFlip:
+    def test_hflip_equals_array_flip_after_crop(self, tmp_path):
+        """cli.extract_features flips the cropped tensor on device instead of
+        decoding every image twice; valid because the extraction transform
+        applies the deterministic flip AFTER the ADM center-crop
+        (models_mae.py:972-987), so the two commute exactly."""
+        from PIL import Image
+
+        from ldmae_tpu.data.images import load_image
+
+        rng = np.random.default_rng(3)
+        p = str(tmp_path / "x.png")
+        # non-square so the crop path is exercised
+        Image.fromarray(rng.integers(0, 255, (90, 70, 3), dtype=np.uint8)).save(p)
+        plain = load_image(p, 32, hflip=False)
+        flipped = load_image(p, 32, hflip=True)
+        np.testing.assert_array_equal(flipped, plain[..., ::-1])
