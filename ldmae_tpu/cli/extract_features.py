@@ -77,12 +77,17 @@ def main():
     from ..ops.gaussian import diagonal_gaussian
     from ..utils.prefetch import Prefetcher
 
+    from ..data.images import normalize_uint8_images
+
     @jax.jit
-    def encode_both(imgs):
+    def encode_both(imgs_u8):
         # the reference decodes every image twice (an unflipped and a flipped
         # ImageFolder, extract_features.py:107-110); the extraction transform
         # flips AFTER the ADM center-crop, so flipping the cropped tensor on
-        # device is exact — one host decode, one doubled-batch encode
+        # device is exact — one host decode, one doubled-batch encode.
+        # Pixels arrive uint8 (4x less host->device traffic) and are
+        # normalized here with load_image's exact fp32 arithmetic.
+        imgs = normalize_uint8_images(imgs_u8)
         both = jnp.concatenate([imgs, imgs[..., ::-1]], axis=0)
         moments = vmae_mod.ldmae_encode_moments(
             params, vspec, consts, both, compute_dtype=jnp.bfloat16
@@ -97,10 +102,16 @@ def main():
 
     rank, world = jax.process_index(), jax.process_count()
     writer = LatentShardWriter(out_dir, rank=rank, shard_size=10000)
-    it = Prefetcher(
-        dataset.iter_batches(args.batch, hflip=False, process_index=rank, process_count=world),
-        buffer_size=4,
-    )
+    def device_batches():
+        # jnp.asarray on the prefetch thread: the host->device copy of batch
+        # k+1 overlaps the encode of batch k
+        for imgs, labels, idxs in dataset.iter_batches(
+            args.batch, hflip=False, raw_uint8=True,
+            process_index=rank, process_count=world,
+        ):
+            yield jnp.asarray(imgs), labels, idxs
+
+    it = Prefetcher(device_batches(), buffer_size=4)
 
     t0 = time.time()
     done = 0
@@ -108,7 +119,7 @@ def main():
     for imgs, labels, idxs in it:
         if done >= n:
             break
-        lat, lat_f = encode_both(jnp.asarray(imgs))
+        lat, lat_f = encode_both(imgs)
         if pending is not None:
             plat, plat_f, plabels = pending
             writer.add(np.asarray(plat), np.asarray(plat_f), plabels)

@@ -36,17 +36,33 @@ def center_crop_arr(pil_image: Image.Image, image_size: int) -> Image.Image:
 
 
 def load_image(
-    path: str, image_size: int, hflip: bool = False
+    path: str, image_size: int, hflip: bool = False, raw_uint8: bool = False
 ) -> np.ndarray:
     """-> (3, H, W) float32 in [-1, 1] (center-crop + optional flip +
-    Normalize(0.5, 0.5); models_mae.py:972-987)."""
+    Normalize(0.5, 0.5); models_mae.py:972-987).
+
+    raw_uint8=True returns the cropped (H, W, 3) uint8 pixels instead —
+    the extraction path normalizes on device so the host->device transfer
+    is 4x smaller (normalize_uint8_images is the exact same arithmetic)."""
     img = Image.open(path).convert("RGB")
     img = center_crop_arr(img, image_size)
     if hflip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if raw_uint8:
+        return np.asarray(img, dtype=np.uint8)
     arr = np.asarray(img, dtype=np.float32) / 255.0
     arr = (arr - 0.5) / 0.5
     return arr.transpose(2, 0, 1)
+
+
+def normalize_uint8_images(imgs):
+    """(B, H, W, 3) uint8 -> (B, 3, H, W) float32 in [-1, 1], the device-side
+    counterpart of load_image's normalization (identical fp32 arithmetic)."""
+    import jax.numpy as jnp
+
+    x = imgs.astype(jnp.float32) / 255.0
+    x = (x - 0.5) / 0.5
+    return x.transpose(0, 3, 1, 2)
 
 
 class ImageFolderDataset:
@@ -76,9 +92,11 @@ class ImageFolderDataset:
     def __len__(self):
         return len(self.samples)
 
-    def get(self, idx: int, hflip: bool = False) -> Tuple[np.ndarray, int]:
+    def get(
+        self, idx: int, hflip: bool = False, raw_uint8: bool = False
+    ) -> Tuple[np.ndarray, int]:
         path, label = self.samples[idx]
-        return load_image(path, self.image_size, hflip), label
+        return load_image(path, self.image_size, hflip, raw_uint8), label
 
     def iter_batches(
         self,
@@ -89,6 +107,7 @@ class ImageFolderDataset:
         process_count: int = 1,
         drop_last: bool = False,
         num_threads: int = 16,
+        raw_uint8: bool = False,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Sequential sharded iteration (extraction uses shuffle=False
         DistributedSampler — extract_features.py:111-119). Yields
@@ -101,7 +120,7 @@ class ImageFolderDataset:
                 chunk = idxs[s : s + batch_size]
                 if drop_last and len(chunk) < batch_size:
                     break
-                results = list(pool.map(lambda i: self.get(i, hflip), chunk))
+                results = list(pool.map(lambda i: self.get(i, hflip, raw_uint8), chunk))
                 imgs = np.stack([r[0] for r in results])
                 labels = np.asarray([r[1] for r in results], np.int64)
                 yield imgs, labels, np.asarray(chunk)

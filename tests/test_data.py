@@ -101,3 +101,19 @@ class TestDeviceSideFlip:
         plain = load_image(p, 32, hflip=False)
         flipped = load_image(p, 32, hflip=True)
         np.testing.assert_array_equal(flipped, plain[..., ::-1])
+
+    def test_uint8_device_normalization_parity(self, tmp_path):
+        """normalize_uint8_images (device) must reproduce load_image's host
+        fp32 normalization bit-exactly (extraction ships uint8 pixels)."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from ldmae_tpu.data.images import load_image, normalize_uint8_images
+
+        rng = np.random.default_rng(4)
+        p = str(tmp_path / "y.png")
+        Image.fromarray(rng.integers(0, 255, (70, 90, 3), dtype=np.uint8)).save(p)
+        host = load_image(p, 32, hflip=False)
+        raw = load_image(p, 32, hflip=False, raw_uint8=True)
+        dev = np.asarray(normalize_uint8_images(jnp.asarray(raw[None])))[0]
+        np.testing.assert_array_equal(dev, host)
