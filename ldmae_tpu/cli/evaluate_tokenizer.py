@@ -65,8 +65,13 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
 
         fixed_std = jnp.asarray(_load_stats(latent_stats)["std"])
 
+    from ..data.images import normalize_uint8_images
+
     @jax.jit
-    def roundtrip(imgs, key):
+    def roundtrip(imgs_u8, key):
+        # pixels arrive uint8 (4x less host->device traffic); normalization
+        # is load_image's exact fp32 arithmetic
+        imgs = normalize_uint8_images(imgs_u8)
         moments = vmae_mod.ldmae_encode_moments(
             params, vspec, consts, imgs, compute_dtype=jnp.bfloat16
         )
@@ -96,16 +101,25 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     def save_png(arr, path):
         Image.fromarray(arr).save(path)
 
+    from ..utils.prefetch import Prefetcher
+
+    def device_batches():
+        # device transfer on the prefetch thread overlaps the roundtrip; the
+        # raw uint8 array doubles as the reference PNG pixels (writing the
+        # normalized floats back to uint8 reproduces them bit-exactly:
+        # 127.5·((p/255−.5)/.5)+128 = p+0.5 → p after clip+floor)
+        for imgs_u8, labels, _ in ds.iter_batches(batch, raw_uint8=True):
+            yield jnp.asarray(imgs_u8), imgs_u8, labels
+
     key = jax.random.key(seed)
-    for imgs, labels, _ in ds.iter_batches(batch):
+    for imgs_dev, ref_u8, labels in Prefetcher(device_batches(), buffer_size=4):
         if idx >= n_total:
             break
         key, sub = jax.random.split(key)
-        u8, l, s = roundtrip(jnp.asarray(imgs), sub)
+        u8, l, s = roundtrip(imgs_dev, sub)
         u8 = np.asarray(u8)
         lpips_vals.append(float(l))
         ssim_vals.append(float(s))
-        ref_u8 = np.clip(127.5 * imgs + 128.0, 0, 255).transpose(0, 2, 3, 1).astype(np.uint8)
         for i in range(len(u8)):
             pool.submit(save_png, ref_u8[i], os.path.join(ref_path, f"ref_{idx + i:06d}.png"))
             pool.submit(save_png, u8[i], os.path.join(save_dir, f"decoded_image_{idx + i:06d}.png"))
