@@ -227,3 +227,45 @@ class TestQuantizedDiT:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestQuantPhasedSampling:
+    def test_full_sampling_stack_combination(self):
+        """quant w8a8 + fused adaLN + phased CFG together through
+        make_sample_fn (the bench/inference configuration) must agree with
+        the quantized unphased pipeline and stay finite."""
+        from ldmae_tpu.eval.sampling import make_sample_fn
+        from ldmae_tpu.models.lightningdit import (
+            DiTConsts, DiTSpec, init_dit_params, merge_swiglu,
+            permute_qk_for_half_rope, quantize_dit_params,
+        )
+        from ldmae_tpu.transport import create_transport
+
+        spec = DiTSpec(
+            input_size=8, patch_size=1, in_channels=4, hidden_size=64, depth=2,
+            num_heads=4, num_classes=8, use_qknorm=True, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True,
+        )
+        consts = DiTConsts(spec)
+        params = init_dit_params(jax.random.key(0), spec)
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.02 * jax.random.normal(jax.random.key(1), p.shape),
+            params,
+        )
+        params = quantize_dit_params(
+            merge_swiglu(permute_qk_for_half_rope(params, spec), spec), spec
+        )
+        outs = {}
+        for phased in (False, True):
+            fn = make_sample_fn(
+                spec, consts, create_transport("Linear", "velocity"),
+                num_steps=16, sampling_method="euler", timestep_shift=0.3,
+                cfg_scale=4.0, cfg_interval=True, cfg_interval_start=0.10,
+                cfg_channels=3, compute_dtype=jnp.float32,
+                rope_layout="half", adaln_impl="fused", quant_mode="w8a8",
+                cfg_phase_split=phased,
+            )
+            y = jnp.arange(4, dtype=jnp.int32) % 8
+            outs[phased] = np.asarray(jax.jit(fn)({"dit": params}, jax.random.key(2), y))
+            assert np.all(np.isfinite(outs[phased]))
+        np.testing.assert_allclose(outs[True], outs[False], rtol=1e-5, atol=1e-6)
