@@ -134,7 +134,10 @@ def init_dit_params(key: jax.Array, spec: DiTSpec) -> Params:
     """Initialisation matching LightningDiT.initialize_weights
     (lightningdit.py:340-374): xavier-uniform linears (patch-embed viewed as
     linear), N(0,0.02) embeddings and t-MLP, zero adaLN and final linear."""
-    keys = iter(jax.random.split(key, 64))
+    # 3 embedder keys + up to 6 stacked-weight draws per block (qkv, proj,
+    # w1/w2/w3 or fc1/fc2) — sized for the deepest registry entries (the
+    # old fixed 64 overflowed for depth > 12, e.g. XL/1)
+    keys = iter(jax.random.split(key, 8 + 6 * spec.depth))
     d = spec.hidden_size
     p = spec.patch_size
     pin = p * p * spec.in_channels

@@ -450,3 +450,25 @@ class TestMergedSwiglu:
             merge_swiglu(params, spec), spec, consts, x, t, y, compute_dtype=jnp.float32
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+class TestRegistryInit:
+    def test_all_registry_models_init(self):
+        """Every registry entry must initialise (the old fixed key split
+        overflowed for depth > 12 — XL/1 and the 1pXB variants)."""
+        import jax
+
+        from ldmae_tpu.models.lightningdit import (
+            dit_spec, init_dit_params, list_models,
+        )
+
+        for name in list_models():
+            spec = dit_spec(
+                name, input_size=8, in_channels=4, num_classes=8,
+                use_qknorm=True, use_swiglu=True, use_rope=True,
+                use_rmsnorm=True,
+            )
+            # keep it cheap: shrink hidden but keep the real depth
+            spec = type(spec)(**{**spec.__dict__, "hidden_size": spec.num_heads * 8})
+            params = init_dit_params(jax.random.key(0), spec)
+            assert params["blocks"]["attn"]["qkv"]["w"].shape[0] == spec.depth
