@@ -94,7 +94,7 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     n_total = len(ds) if limit is None else min(limit, len(ds))
     print(f"evaluating tokenizer on {n_total} images (epsilon={epsilon})")
 
-    lpips_vals, ssim_vals = [], []
+    lpips_vals, ssim_vals, psnr_vals = [], [], []
     idx = 0
     pool = ThreadPoolExecutor(8)
 
@@ -120,25 +120,21 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
         u8 = np.asarray(u8)
         lpips_vals.append(float(l))
         ssim_vals.append(float(s))
+        # PSNR per image from the exact uint8 arrays being written — PNG is
+        # lossless, so this equals the reference's folder-pairwise pass
+        # (evaluate_tokenizer.py:194-209, same fp32 arithmetic as
+        # eval.metrics.psnr) without re-reading 2x50k files
+        d = ref_u8.astype(np.float32) - u8.astype(np.float32)
+        mse = np.mean(d * d, axis=(1, 2, 3))
+        psnr_vals.extend((20 * np.log10(255.0 / np.sqrt(np.maximum(mse, 1e-12)))).tolist())
         for i in range(len(u8)):
             pool.submit(save_png, ref_u8[i], os.path.join(ref_path, f"ref_{idx + i:06d}.png"))
             pool.submit(save_png, u8[i], os.path.join(save_dir, f"decoded_image_{idx + i:06d}.png"))
         idx += len(u8)
     pool.shutdown(wait=True)
 
-    # rFID + PSNR on the folders (evaluate_tokenizer.py:194-209)
+    # rFID on the folders (evaluate_tokenizer.py:194-209)
     fid = calculate_fid_given_paths([ref_path, save_dir])
-    psnr_vals = []
-    refs = sorted(os.listdir(ref_path))
-    procs = sorted(os.listdir(save_dir))
-
-    def pair_psnr(a, b):
-        ia = np.asarray(Image.open(os.path.join(ref_path, a)).convert("RGB"), np.float32)
-        ib = np.asarray(Image.open(os.path.join(save_dir, b)).convert("RGB"), np.float32)
-        return float(psnr(jnp.asarray(ia), jnp.asarray(ib)))
-
-    with ThreadPoolExecutor(16) as p2:
-        psnr_vals = list(p2.map(lambda ab: pair_psnr(*ab), zip(refs, procs)))
 
     report = {
         "rfid": fid,
