@@ -47,7 +47,10 @@ def get_args_parser():
     p.add_argument("--smooth_output", action="store_true")
     p.add_argument("--pred_with_conv", action="store_true")
     p.add_argument("--down_nonlinear", action="store_true")
-    p.add_argument("--perceptual_loss_ratio", type=float, default=1.0)
+    # the reference enables LPIPS whenever this is SET (default None —
+    # main_pretrain.py:50,189-192); --use_lpips forces it with the default
+    # ratio 1.0 (models_mae.py:292)
+    p.add_argument("--perceptual_loss_ratio", type=float, default=None)
     p.add_argument("--use_lpips", action="store_true")
     p.add_argument("--tune_decoder", action="store_true")
     p.add_argument("--use_checkpoint", action="store_true",
@@ -103,7 +106,9 @@ def main(args):
         pred_with_conv=args.pred_with_conv,
         down_nonlinear=args.down_nonlinear,
         norm_pix_loss=args.norm_pix_loss,
-        perceptual_loss_ratio=args.perceptual_loss_ratio,
+        perceptual_loss_ratio=(
+            1.0 if args.perceptual_loss_ratio is None else args.perceptual_loss_ratio
+        ),
         ldmae_mode=args.tune_decoder,
         use_checkpoint=args.use_checkpoint,
     )
@@ -136,7 +141,7 @@ def main(args):
         tune_decoder=args.tune_decoder,
     )
     perceptual = None
-    if args.use_lpips:
+    if args.use_lpips or args.perceptual_loss_ratio is not None:
         from ..models.lpips import load_lpips_params, make_lpips_fn
 
         perceptual = make_lpips_fn(load_lpips_params())
