@@ -53,6 +53,10 @@ def get_args_parser():
     p.add_argument("--perceptual_loss_ratio", type=float, default=None)
     p.add_argument("--use_lpips", action="store_true")
     p.add_argument("--tune_decoder", action="store_true")
+    p.add_argument("--gradual_resol", action="store_true",
+                   help="gradual-resolution variant (halved patch, "
+                        "mid-encoder Downsample / mid-decoder Upsample — "
+                        "main_pretrain.py --gradual_resol)")
     p.add_argument("--use_checkpoint", action="store_true",
                    help="per-block remat (needed for stage-3 256² + LPIPS "
                         "on 16 GB-HBM chips)")
@@ -112,8 +116,24 @@ def main(args):
         ldmae_mode=args.tune_decoder,
         use_checkpoint=args.use_checkpoint,
     )
-    consts = VMAEConsts(spec)
-    params = init_vmae_params(jax.random.key(args.seed), spec)
+    gradual = None
+    if args.gradual_resol:
+        # the reference halves patch_size in the ctor for this variant
+        # (models_mae.py:310-312); PE tables: encoder on the full half-patch
+        # grid, decoder on the post-Downsample /2 grid
+        import dataclasses
+
+        from ..models.vmae_variants import GradualConsts, init_gradual_params
+
+        spec = dataclasses.replace(spec, patch_size=spec.patch_size // 2)
+        consts = GradualConsts(spec)
+        params, down_after, up_after = init_gradual_params(
+            jax.random.key(args.seed), spec
+        )
+        gradual = (down_after, up_after)
+    else:
+        consts = VMAEConsts(spec)
+        params = init_vmae_params(jax.random.key(args.seed), spec)
 
     if args.resume:
         if args.resume.endswith((".pth", ".pt")):
@@ -154,6 +174,7 @@ def main(args):
             tune_decoder=args.tune_decoder,
             perceptual_loss_fn=perceptual,
             compute_dtype=jnp.bfloat16,
+            gradual=gradual,
         ),
         donate_argnums=(0,),
     )

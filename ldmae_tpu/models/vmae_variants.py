@@ -225,6 +225,95 @@ def init_gradual_params(key: jax.Array, spec: VMAESpec, finetune_downsample_laye
     return params, downsize, upsize
 
 
+class GradualConsts:
+    """Positional tables for the gradual variant: encoder PE on the full
+    (half-patch) grid, decoder PE on the /2 (post-Downsample) grid
+    (models_mae.py:335-350 with gradual_resol)."""
+
+    def __init__(self, spec: VMAESpec):
+        from ..ops import get_2d_sincos_pos_embed
+
+        self.pos_embed = jnp.asarray(
+            get_2d_sincos_pos_embed(spec.embed_dim, spec.grid)
+        )
+        self.decoder_pos_embed = jnp.asarray(
+            get_2d_sincos_pos_embed(spec.decoder_embed_dim, spec.grid // 2)
+        )
+
+
+def forward_vanilla_gradual(
+    params: Params,
+    spec: VMAESpec,
+    consts,
+    imgs: jnp.ndarray,
+    key: jax.Array,
+    downsample_after: int,
+    upsample_after: int,
+    mask_ratio: float = 0.75,
+    visible_loss_ratio: float = 0.5,
+    perceptual_loss_fn=None,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "xla",
+) -> Dict[str, jnp.ndarray]:
+    """Stage-1 training forward for ``--gradual_resol``
+    (models_mae.py:773-807 with the gradual encoder/decoder substituted at
+    775/797; loss assembly identical to models/vmae.forward_vanilla)."""
+    from ..ops import patchify, unpatchify
+    from ..ops.gaussian import diagonal_gaussian
+    from .vmae import _to_latent
+
+    k_mask, k_sample = jax.random.split(key)
+    latent, mask, ids_restore = forward_encoder_with_mask(
+        params, spec, consts, imgs.astype(compute_dtype), mask_ratio, k_mask,
+        downsample_after, attn_impl=attn_impl,
+    )
+    latent = _to_latent(latent, params["to_latent"], spec)
+
+    kl_loss = None
+    if spec.kl_loss_weight is not None:
+        n_tokens = latent.shape[1]
+        moments = latent.astype(jnp.float32).transpose(0, 2, 1)
+        posterior = diagonal_gaussian(moments, axis=1)
+        kl = posterior.kl(fixed_std=spec.fixed_std)
+        kl_loss = jnp.sum(kl) / kl.shape[0] / n_tokens
+        latent = posterior.sample(k_sample).transpose(0, 2, 1).astype(compute_dtype)
+
+    latent = _to_latent(latent, params["from_latent"], spec)
+    pred = forward_decoder_without_mask(
+        params, spec, consts, latent, upsample_after, attn_impl=attn_impl
+    )
+
+    target = patchify(imgs, spec.patch_size)
+    if spec.norm_pix_loss:
+        mean = target.mean(axis=-1, keepdims=True)
+        var = target.var(axis=-1, keepdims=True)
+        target = (target - mean) / (var + 1e-6) ** 0.5
+    loss = jnp.mean((pred.astype(jnp.float32) - target) ** 2, axis=-1)
+    mask = mask.astype(jnp.float32)
+    visible_loss = jnp.sum(loss * (1 - mask)) / jnp.sum(1 - mask)
+    mask_loss = jnp.sum(loss * mask) / jnp.sum(mask)
+    loss = (1 - visible_loss_ratio) * mask_loss + visible_loss_ratio * visible_loss
+
+    if perceptual_loss_fn is not None:
+        p_loss = jnp.mean(
+            perceptual_loss_fn(imgs, unpatchify(pred.astype(jnp.float32), spec.patch_size, 3))
+        )
+        loss = loss + spec.perceptual_loss_ratio * p_loss
+    else:
+        p_loss = jnp.zeros_like(loss)
+    if kl_loss is not None:
+        loss = loss + spec.kl_loss_weight * kl_loss
+    return {
+        "loss": loss,
+        "pred": pred,
+        "mask": mask,
+        "vis_loss": visible_loss,
+        "mask_loss": mask_loss,
+        "kl_loss": kl_loss if kl_loss is not None else jnp.zeros(()),
+        "p_loss": p_loss,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Linear probes (models_mae.py:712-739)
 # ---------------------------------------------------------------------------

@@ -120,8 +120,13 @@ def make_vmae_train_step(
     perceptual_loss_fn=None,
     compute_dtype=jnp.float32,
     attn_impl: str = "xla",
+    gradual=None,
 ):
     """Train step (no EMA — the reference VMAE trainer keeps none).
+
+    gradual: optional (downsample_after, upsample_after) — routes stage 1
+    through the gradual_resol forward (main_pretrain.py --gradual_resol;
+    params from vmae_variants.init_gradual_params).
     Returns (state, metrics) with the reference's meter set
     (loss/vis/mask/kl/p_loss — engine_pretrain.py:80-105) plus a NaN flag
     replacing the reference's hard process abort (engine_pretrain.py:68-70):
@@ -138,6 +143,23 @@ def make_vmae_train_step(
                 "vis_loss": out["vis_loss"],
                 "mask_loss": jnp.zeros(()),
                 "kl_loss": jnp.zeros(()),
+                "p_loss": out["p_loss"],
+            }
+        elif gradual is not None:
+            from ..models.vmae_variants import forward_vanilla_gradual
+
+            out = forward_vanilla_gradual(
+                params, spec, consts, x, key,
+                downsample_after=gradual[0], upsample_after=gradual[1],
+                mask_ratio=mask_ratio,
+                visible_loss_ratio=visible_loss_ratio,
+                perceptual_loss_fn=perceptual_loss_fn,
+                compute_dtype=compute_dtype, attn_impl=attn_impl,
+            )
+            aux = {
+                "vis_loss": out["vis_loss"],
+                "mask_loss": out["mask_loss"],
+                "kl_loss": out["kl_loss"],
                 "p_loss": out["p_loss"],
             }
         else:

@@ -131,3 +131,37 @@ class TestProbes:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestGradualTraining:
+    def test_gradual_train_step_loss_decreases(self):
+        """forward_vanilla_gradual wired through make_vmae_train_step
+        (main_pretrain.py --gradual_resol): loss must be finite and move."""
+        import dataclasses
+
+        from ldmae_tpu.train.state import init_train_state
+        from ldmae_tpu.train.train_vmae import (
+            make_vmae_optimizer, make_vmae_train_step,
+        )
+
+        spec = dataclasses.replace(
+            GSPEC, patch_size=GSPEC.patch_size // 2,
+            kl_loss_weight=1e-6, fixed_std=1e-3,
+        )
+        params, down, up = vv.init_gradual_params(jax.random.key(0), spec)
+        consts = vv.GradualConsts(spec)
+        tx = make_vmae_optimizer(params, 10, base_lr=1e-3, warmup_epochs=0,
+                                 total_epochs=1)
+        step = jax.jit(make_vmae_train_step(
+            spec, consts, tx, mask_ratio=0.25, visible_loss_ratio=0.75,
+            gradual=(down, up),
+        ))
+        state = init_train_state(params, tx)
+        x = jax.random.normal(jax.random.key(1), (4, 3, 32, 32))
+        losses = []
+        for i in range(8):
+            state, m = step(state, {"x": x}, jax.random.key(2))
+            losses.append(float(m["loss"]))
+            assert np.isfinite(losses[-1])
+            assert float(m["kl_loss"]) >= 0
+        assert losses[-1] < losses[0]
