@@ -33,10 +33,10 @@ import numpy as np
 def get_args_parser():
     p = argparse.ArgumentParser("VMAE pretraining")
     # reference flags (main_pretrain.py:38-93)
-    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--accum_iter", type=int, default=1)
-    p.add_argument("--model", type=str, default="mae_for_ldmae_f8d16_prev")
+    p.add_argument("--model", type=str, default="mae_vit_large_patch16")
     p.add_argument("--input_size", type=int, default=256)
     p.add_argument("--mask_ratio", type=float, default=0.75)
     p.add_argument("--visible_loss_ratio", type=float, default=0.5)
@@ -63,15 +63,15 @@ def get_args_parser():
     p.add_argument("--fixed_lr", action="store_true")
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--lr", type=float, default=None)
-    p.add_argument("--blr", type=float, default=1e-4)
+    p.add_argument("--blr", type=float, default=1e-3)
     p.add_argument("--min_lr", type=float, default=0.0)
     p.add_argument("--warmup_epochs", type=int, default=40)
     p.add_argument("--data_path", type=str, required=True)
     p.add_argument("--output_dir", type=str, default="./output_dir")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=str, default="")
-    p.add_argument("--save_epochs", type=int, default=20)
-    p.add_argument("--num_workers", type=int, default=10)
+    p.add_argument("--save_epochs", type=int, default=10)
+    p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--steps_per_epoch", type=int, default=None,
                    help="override for small datasets / smoke runs")
     p.add_argument("--dp", type=int, default=-1)
