@@ -26,7 +26,7 @@ import numpy as np
 def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, batch=32, limit=None, latent_stats=None):
     from ..data.images import ImageFolderDataset
     from ..eval.fid import calculate_fid_given_paths
-    from ..eval.metrics import psnr, ssim
+    from ..eval.metrics import ssim
     from ..models import vmae as vmae_mod
     from ..models.lpips import load_lpips_params, lpips as lpips_fn
     from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec
@@ -122,11 +122,10 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
         ssim_vals.append(float(s))
         # PSNR per image from the exact uint8 arrays being written — PNG is
         # lossless, so this equals the reference's folder-pairwise pass
-        # (evaluate_tokenizer.py:194-209, same fp32 arithmetic as
-        # eval.metrics.psnr) without re-reading 2x50k files
-        d = ref_u8.astype(np.float32) - u8.astype(np.float32)
-        mse = np.mean(d * d, axis=(1, 2, 3))
-        psnr_vals.extend((20 * np.log10(255.0 / np.sqrt(np.maximum(mse, 1e-12)))).tolist())
+        # (evaluate_tokenizer.py:194-209) without re-reading 2x50k files
+        from ..eval.metrics import psnr_batch_np
+
+        psnr_vals.extend(psnr_batch_np(ref_u8, u8).tolist())
         for i in range(len(u8)):
             pool.submit(save_png, ref_u8[i], os.path.join(ref_path, f"ref_{idx + i:06d}.png"))
             pool.submit(save_png, u8[i], os.path.join(save_dir, f"decoded_image_{idx + i:06d}.png"))

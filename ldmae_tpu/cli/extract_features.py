@@ -97,10 +97,12 @@ def main():
         return out[:half], out[half:]
 
     dataset = ImageFolderDataset(config.data.origin_path, config.data.image_size)
-    n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
-    print(f"extracting {n} images from {config.data.origin_path} -> {out_dir}")
-
     rank, world = jax.process_index(), jax.process_count()
+    n_global = len(dataset) if args.limit is None else min(args.limit, len(dataset))
+    # --limit is a GLOBAL budget; this rank's interleaved shard of it
+    n = n_global // world + (1 if rank < n_global % world else 0)
+    print(f"extracting {n_global} images ({n} on rank {rank}) "
+          f"from {config.data.origin_path} -> {out_dir}")
     writer = LatentShardWriter(out_dir, rank=rank, shard_size=10000)
     def device_batches():
         # jnp.asarray on the prefetch thread: the host->device copy of batch
@@ -132,6 +134,12 @@ def main():
         writer.add(np.asarray(plat), np.asarray(plat_f), plabels)
     writer.flush()
 
+    # all ranks must have flushed their shards before rank 0 computes
+    # latents_stats over the directory (reference: dist.barrier() at
+    # extract_features.py:215)
+    from ..parallel.distributed import barrier
+
+    barrier("extract_shards_flushed")
     if rank == 0:
         ds = ImgLatentDataset(out_dir, latent_norm=True, sample=store_moments)
         print(f"latent stats cached; mean[:4]={ds._latent_mean.ravel()[:4]}")

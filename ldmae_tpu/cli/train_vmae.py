@@ -137,11 +137,22 @@ def main(args):
 
     if args.resume:
         if args.resume.endswith((".pth", ".pt")):
-            params = torch_import.import_vmae_checkpoint(args.resume, spec)
+            if gradual is not None:
+                # gradual checkpoints interleave the Down/Upsample convs
+                # inside the block lists (models_mae.py:352-395)
+                sd = torch_import.load_torch_state_dict(args.resume)
+                params = torch_import.import_vmae_state_dict_gradual(
+                    sd, spec, gradual[0], gradual[1]
+                )
+            else:
+                params = torch_import.import_vmae_checkpoint(args.resume, spec)
             print(f"resumed weights from torch checkpoint {args.resume}")
         # Orbax resume handled below via restore_checkpoint
 
-    eff_batch = args.batch_size * args.accum_iter * jax.process_count() * n_dev
+    # n_dev = jax.device_count() is already GLOBAL across processes — don't
+    # multiply by process_count again (reference: batch * accum * world_size,
+    # main_pretrain.py:241)
+    eff_batch = args.batch_size * args.accum_iter * n_dev
     lr = args.lr if args.lr is not None else args.blr * eff_batch / 256
     print(f"actual lr: {lr:.2e}  effective batch size: {eff_batch}")
 

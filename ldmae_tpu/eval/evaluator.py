@@ -113,9 +113,11 @@ class ManifoldEstimator:
             def sqd(u, v):
                 nu = jnp.sum(u * u, axis=1)[:, None]
                 nv = jnp.sum(v * v, axis=1)[None, :]
-                return jnp.maximum(
-                    nu + nv - 2.0 * (u @ v.T).astype(jnp.float32), 0.0
-                )
+                # full-fp32 matmul: the default TPU precision would run the
+                # 2048-wide dot products in bf16 and near-radius containment
+                # verdicts could flip vs the reference's fp32 GPU evaluator
+                uv = jnp.dot(u, v.T, precision=jax.lax.Precision.HIGHEST)
+                return jnp.maximum(nu + nv - 2.0 * uv.astype(jnp.float32), 0.0)
 
             @partial(jax.jit, static_argnames=("k",))
             def radii_block(rows, feats, k):

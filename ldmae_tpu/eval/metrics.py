@@ -20,6 +20,14 @@ def psnr(original: jnp.ndarray, processed: jnp.ndarray, max_val: float = 255.0) 
     return 20 * jnp.log10(max_val / jnp.sqrt(mse))
 
 
+def psnr_batch_np(a: np.ndarray, b: np.ndarray, max_val: float = 255.0) -> np.ndarray:
+    """Per-image PSNR over a batch, host numpy (same arithmetic as psnr);
+    used by cli.evaluate_tokenizer on the in-memory uint8 pairs."""
+    d = a.astype(np.float32) - b.astype(np.float32)
+    mse = (d.reshape(d.shape[0], -1) ** 2).mean(axis=1)
+    return 20 * np.log10(max_val / np.sqrt(np.maximum(mse, 1e-12)))
+
+
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     coords = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
     g = np.exp(-(coords**2) / (2 * sigma**2))

@@ -140,6 +140,18 @@ def token_upsample(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return out.reshape(b2, c2, h2 * w2).transpose(0, 2, 1).astype(x.dtype)
 
 
+def _maybe_remat(block_fn, spec: VMAESpec, num_heads: int, attn_impl: str):
+    """Honor spec.use_checkpoint in the unrolled gradual loops (the stacked
+    paths do this inside models/vmae). Returns f(x, bp)."""
+
+    def f(x, bp):
+        return block_fn(x, bp, num_heads, attn_impl=attn_impl)
+
+    if not getattr(spec, "use_checkpoint", False):
+        return f
+    return jax.checkpoint(f)
+
+
 # ---------------------------------------------------------------------------
 # gradual_resol forward paths
 # ---------------------------------------------------------------------------
@@ -163,8 +175,9 @@ def forward_encoder_with_mask(
     x, mask, ids_restore = random_masking(key, x, mask_ratio)
     x = unshuffle_with_mask_tokens(x, params["mask_token"], ids_restore)
     x = x + consts.pos_embed.astype(x.dtype)[None]
+    block = _maybe_remat(vit_block, spec, spec.num_heads, attn_impl)
     for i, bp in enumerate(params["blocks"]):
-        x = vit_block(x, bp, spec.num_heads, attn_impl=attn_impl)
+        x = block(x, bp)
         if i == downsample_after - 1:
             x = token_downsample(x, params["encoder_downsample"])
     x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"], eps=1e-6)
@@ -183,8 +196,9 @@ def forward_decoder_without_mask(
     inserted after ``upsample_after`` blocks; no unshuffle."""
     x = dense(x, params["decoder_embed"])
     x = x + consts.decoder_pos_embed.astype(x.dtype)[None]
+    block = _maybe_remat(vit_block, spec, spec.decoder_num_heads, attn_impl)
     for i, bp in enumerate(params["decoder_blocks"]):
-        x = vit_block(x, bp, spec.decoder_num_heads, attn_impl=attn_impl)
+        x = block(x, bp)
         if i == upsample_after - 1:
             x = token_upsample(x, params["decoder_upsample"])
     x = layer_norm(x, params["decoder_norm"]["scale"], params["decoder_norm"]["bias"], eps=1e-6)

@@ -247,6 +247,59 @@ def import_vmae_checkpoint(path: str, spec: VMAESpec) -> Params:
     return import_vmae_state_dict(sd, spec)
 
 
+def import_vmae_state_dict_gradual(
+    sd: Dict[str, np.ndarray],
+    spec: VMAESpec,
+    downsample_after: int,
+    upsample_after: int,
+) -> Params:
+    """gradual_resol checkpoints: the reference interleaves the Downsample /
+    Upsample convs INSIDE the blocks ModuleLists (models_mae.py:352-395), so
+    ``blocks.{downsample_after}`` is the conv and later block indices shift
+    by one. Produces the vmae_variants.init_gradual_params layout (unstacked
+    block lists + encoder_downsample/decoder_upsample, OIHW conv weights)."""
+    d, dd = spec.embed_dim, spec.decoder_embed_dim
+
+    def blocks_with_conv(prefix, depth, width, conv_at):
+        blocks, conv = [], None
+        for src in range(depth + 1):
+            if src == conv_at:
+                conv = {
+                    "w": jnp.asarray(sd[f"{prefix}.{src}.conv.weight"]),
+                    "b": jnp.asarray(sd[f"{prefix}.{src}.conv.bias"]),
+                }
+            else:
+                blocks.append(_vit_block(sd, f"{prefix}.{src}", width))
+        return blocks, conv
+
+    enc_blocks, enc_conv = blocks_with_conv("blocks", spec.depth, d, downsample_after)
+    dec_blocks, dec_conv = blocks_with_conv(
+        "decoder_blocks", spec.decoder_depth, dd, upsample_after
+    )
+
+    # non-block pieces via the standard importer (fed a view with the block
+    # lists de-interleaved to plain 0..depth-1 indices so it doesn't trip on
+    # the conv entries)
+    view = {k: v for k, v in sd.items()
+            if not k.startswith(("blocks.", "decoder_blocks."))}
+    for prefix, depth, conv_at in (
+        ("blocks", spec.depth, downsample_after),
+        ("decoder_blocks", spec.decoder_depth, upsample_after),
+    ):
+        for i in range(depth):
+            src = i if i < conv_at else i + 1
+            head = f"{prefix}.{src}."
+            for k, v in sd.items():
+                if k.startswith(head):
+                    view[f"{prefix}.{i}." + k[len(head):]] = v
+    params = import_vmae_state_dict(view, spec)
+    params["blocks"] = enc_blocks
+    params["decoder_blocks"] = dec_blocks
+    params["encoder_downsample"] = enc_conv
+    params["decoder_upsample"] = dec_conv
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Warm-start (train_accum.py:308-334)
 # ---------------------------------------------------------------------------

@@ -343,3 +343,51 @@ class TestConvVAEFullSize:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestGradualImport:
+    def test_gradual_checkpoint_import_and_forward_parity(self):
+        """gradual_resol checkpoints interleave the Down/Upsample convs
+        inside the blocks ModuleLists (models_mae.py:352-395);
+        import_vmae_state_dict_gradual must de-interleave and reproduce the
+        reference forward (mask_ratio=0 -> deterministic; kl off so no
+        sampling)."""
+        from ldmae_tpu.models import vmae_variants as vv
+        from ldmae_tpu.models.vmae import VMAESpec
+        from ldmae_tpu.train.torch_import import import_vmae_state_dict_gradual
+
+        vm = load_ref_vmae()
+        ref = vm.MaskedAutoencoderViT(
+            img_size=32, patch_size=4, embed_dim=24, depth=2, num_heads=4,
+            decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+            latent_dim=4, no_cls=True, gradual_resol=True,
+            norm_layer=torch.nn.LayerNorm,
+        )
+        ref.eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+        # ctor halves patch_size for gradual (models_mae.py:310-312)
+        spec = VMAESpec(
+            img_size=32, patch_size=2, embed_dim=24, depth=2, num_heads=4,
+            decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+            latent_dim=4, no_cls=True,
+        )
+        down = spec.depth // 2          # models_mae.py:354
+        up = spec.decoder_depth - down  # models_mae.py:386
+        params = import_vmae_state_dict_gradual(sd, spec, down, up)
+        assert "encoder_downsample" in params and params["encoder_downsample"] is not None
+        assert len(params["blocks"]) == 2 and len(params["decoder_blocks"]) == 2
+
+        consts = vv.GradualConsts(spec)
+        imgs = torch.randn(2, 3, 32, 32)
+        with torch.no_grad():
+            _, ref_pred, _, _, _, _, _ = ref.forward_vanilla(
+                imgs, mask_ratio=0.0, visible_loss_ratio=0.5
+            )
+        out = vv.forward_vanilla_gradual(
+            params, spec, consts, jnp.asarray(imgs.numpy()), jax.random.key(0),
+            downsample_after=down, upsample_after=up, mask_ratio=0.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pred"]), ref_pred.numpy(), rtol=2e-4, atol=2e-4
+        )
