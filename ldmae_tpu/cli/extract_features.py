@@ -121,12 +121,15 @@ def main():
     for imgs, labels, idxs in it:
         if done >= n:
             break
+        take = min(len(labels), n - done)
+        if take < len(labels):  # trim the final batch to the exact quota
+            imgs, labels = imgs[:take], labels[:take]
         lat, lat_f = encode_both(imgs)
         if pending is not None:
             plat, plat_f, plabels = pending
             writer.add(np.asarray(plat), np.asarray(plat_f), plabels)
         pending = (lat, lat_f, labels)
-        done += len(labels)
+        done += take
         if done % (args.batch * 10) < args.batch:
             print(f"[rank {rank}] {done}/{n} ({done / (time.time() - t0):.1f} img/s)")
     if pending is not None:

@@ -97,3 +97,82 @@ def test_two_process_rendezvous_psum_and_sharding(latent_dir):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+@pytest.fixture(scope="module")
+def image_cfg(tmp_path_factory):
+    from PIL import Image
+    import yaml
+
+    t = tmp_path_factory.mktemp("mp_extract")
+    rng = np.random.default_rng(1)
+    img_dir = t / "imgs" / "cls0"
+    img_dir.mkdir(parents=True)
+    for i in range(12):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        ).save(str(img_dir / f"{i}.png"))
+    cfg = {
+        "data": {"origin_path": str(t / "imgs"), "data_path": str(t / "lat"),
+                 "image_size": 32, "num_classes": 1, "latent_norm": True,
+                 "sample": True},
+        "vae": {"model_name": "vmae_f8d16", "downsample_ratio": 8,
+                "weight_path": ""},
+        "model": {"model_type": "LightningDiT-debug", "in_chans": 16},
+        "train": {"output_dir": str(t / "out"), "exp_name": "mp"},
+    }
+    p = t / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p), str(t / "lat_sample")
+
+
+@pytest.mark.timeout(600)
+def test_two_process_extraction_driver(image_cfg):
+    """End-to-end 2-process extract_features: per-rank shards, the global
+    --limit split, and the pre-stats barrier (rank 0 computes
+    latents_stats.pt only after every rank flushed)."""
+    cfg, out_dir = image_cfg
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            RANK=str(rank),
+            WORLD_SIZE="2",
+            MASTER_ADDR="127.0.0.1",
+            MASTER_PORT=str(port),
+            PYTHONPATH=REPO,
+            LDMAE_PLATFORM="cpu",
+            JAX_PLATFORMS="cpu",
+        )
+        env["XLA_FLAGS"] = ""
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "ldmae_tpu.cli.extract_features",
+                 "--config", cfg, "--batch", "2", "--limit", "10"],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    for rank, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-4000:]}\n{out[-2000:]}"
+
+    import glob
+
+    from safetensors import safe_open
+
+    shards0 = glob.glob(os.path.join(out_dir, "latents_rank00_*.safetensors"))
+    shards1 = glob.glob(os.path.join(out_dir, "latents_rank01_*.safetensors"))
+    assert shards0 and shards1, os.listdir(out_dir)
+    total = 0
+    for s in shards0 + shards1:
+        with safe_open(s, framework="numpy", device="cpu") as f:
+            total += f.get_slice("labels").get_shape()[0]
+    assert total == 10  # global --limit, not per-rank
+    assert os.path.exists(os.path.join(out_dir, "latents_stats.pt"))
