@@ -95,6 +95,7 @@ def main(batch: int = 36, iters: int = 3, num_steps: int = 250):
         rope_layout="half",
         adaln_impl=os.environ.get("LDMAE_ADALN_IMPL", "fused"),
         quant_mode=quant_mode,
+        mlp_impl=os.environ.get("LDMAE_MLP_IMPL", "fused"),
     )
     sample_jit = jax.jit(sample_fn)
     bundle = {

@@ -167,6 +167,7 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
         rope_layout="half",
         adaln_impl=getattr(config.parallel, "adaln_impl", "fused"),
         quant_mode=quant,
+        mlp_impl=getattr(config.parallel, "mlp_impl", "fused"),
     )
     bundle = {
         "dit": params,

