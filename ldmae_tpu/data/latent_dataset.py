@@ -67,11 +67,21 @@ class ImgLatentDataset:
     # -- stats ---------------------------------------------------------------
     def get_latent_stats(self) -> Tuple[np.ndarray, np.ndarray]:
         cache = os.path.join(self.data_dir, "latents_stats.pt")
-        if os.path.exists(cache):
+        if os.path.exists(cache) or os.path.exists(cache + ".npz"):
             stats = _load_stats(cache)
         else:
             stats = self.compute_latent_stats()
-            _save_stats(cache, stats)
+            # only one process writes (the stats are deterministic given the
+            # shards + seed, so other ranks computing in-memory is fine);
+            # _save_stats writes atomically either way
+            try:
+                import jax
+
+                write = jax.process_index() == 0
+            except Exception:
+                write = True
+            if write:
+                _save_stats(cache, stats)
         return stats["mean"], stats["std"]
 
     def compute_latent_stats(self, num_samples: int = 10000) -> Dict[str, np.ndarray]:
@@ -154,23 +164,39 @@ def _sample_moments_np(moments: np.ndarray, rng: np.random.Generator) -> np.ndar
 
 
 def _save_stats(path: str, stats: Dict[str, np.ndarray]) -> None:
-    """latents_stats.pt via torch for reference compat; .npz fallback."""
+    """latents_stats.pt via torch for reference compat; .npz fallback.
+    Atomic (tmp + rename) so a concurrent reader never sees a partial file."""
     try:
         import torch
 
+        tmp = path + f".tmp{os.getpid()}"
         torch.save(
-            {k: torch.from_numpy(np.asarray(v)) for k, v in stats.items()}, path
+            {k: torch.from_numpy(np.asarray(v)) for k, v in stats.items()}, tmp
         )
+        os.replace(tmp, path)
     except ImportError:
-        np.savez(path + ".npz", **stats)
+        tmp = path + f".tmp{os.getpid()}.npz"
+        np.savez(tmp, **stats)
+        os.replace(tmp, path + ".npz")
 
 
 def _load_stats(path: str) -> Dict[str, np.ndarray]:
     if os.path.exists(path):
-        import torch
-
-        raw = torch.load(path, map_location="cpu", weights_only=False)
-        return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in raw.items()}
+        try:
+            import torch
+        except ImportError:
+            torch = None
+        if torch is not None:
+            raw = torch.load(path, map_location="cpu", weights_only=False)
+            return {
+                k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                for k, v in raw.items()
+            }
+        if not os.path.exists(path + ".npz"):
+            raise ImportError(
+                f"{path} is a torch pickle but torch is unavailable; "
+                "re-extract to produce the .npz fallback"
+            )
     raw = np.load(path + ".npz")
     return {k: raw[k] for k in raw.files}
 

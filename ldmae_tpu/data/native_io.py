@@ -28,7 +28,14 @@ _lib = None
 _lock = threading.Lock()
 
 
+_build_failed = False
+
+
 def _build() -> Optional[str]:
+    global _build_failed
+    if _build_failed:
+        # don't re-run a failing g++ on every write_pngs call
+        return None
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
     try:
@@ -45,6 +52,7 @@ def _build() -> Optional[str]:
         import warnings
 
         warnings.warn(f"native IO build failed ({e}); using Python fallbacks")
+        _build_failed = True
         return None
 
 
@@ -95,9 +103,15 @@ def write_pngs(
             Image.fromarray(img).save(p)
         return n
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    return lib.png_encode_batch(
+    ok = lib.png_encode_batch(
         images.ctypes.data_as(ctypes.c_void_p), n, h, w, arr, level, num_threads
     )
+    if ok != n:
+        # the C side skips files whose open/write fails (e.g. disk full);
+        # surface that instead of silently finishing with missing PNGs
+        raise OSError(f"native PNG writer wrote {ok}/{n} files (disk full or "
+                      f"unwritable path?)")
+    return ok
 
 
 _DTYPES = {
@@ -126,10 +140,15 @@ class NativeShard:
         from safetensors import safe_open
 
         self.meta = {}
+        self.dtypes = {}
         with safe_open(path, framework="numpy", device="cpu") as f:
             for k in f.keys():
                 sl = f.get_slice(k)
                 self.meta[k] = tuple(sl.get_shape())
+                dt = str(sl.get_dtype())
+                if dt not in _DTYPES:
+                    raise TypeError(f"unsupported safetensors dtype {dt!r} for {k}")
+                self.dtypes[k] = dt
 
     def num_rows(self, name: str) -> int:
         return int(self._lib.shard_num_rows(self._handle, name.encode()))
@@ -150,8 +169,11 @@ class NativeShard:
             raise IndexError(f"gather copied {copied}/{len(indices)} rows")
         shape = self.meta[name]
         trailing = shape[1:]
-        itemsize = row_bytes // int(np.prod(trailing)) if trailing else row_bytes
-        dtype = {4: np.float32, 8: np.int64, 2: np.float16, 1: np.uint8}[itemsize]
+        # dtype from the safetensors header, NOT itemsize (itemsize alone
+        # cannot distinguish I32/F32, BF16/F16/U16, ...)
+        dtype = _DTYPES[self.dtypes[name]]
+        if dtype is None:  # BF16: no numpy dtype — view u16, caller converts
+            return out.view(np.uint16).reshape(len(indices), *trailing)
         return out.view(dtype).reshape(len(indices), *trailing)
 
     def close(self):

@@ -41,6 +41,7 @@ class _State(NamedTuple):
     h: jnp.ndarray
     steps: jnp.ndarray
     rejected: jnp.ndarray
+    k1: jnp.ndarray  # FSAL: drift at (x, t), reused as the next step's k1
 
 
 def dopri5(
@@ -57,13 +58,21 @@ def dopri5(
 
     Error norm and PI step control follow the standard RK45 recipe
     (torchdiffeq's defaults: mixed rtol/atol RMS norm, 0.9 safety, order-5
-    exponent, clip factor [0.2, 10])."""
+    exponent, clip factor [0.2, 10]).
+
+    A decreasing interval (t1 < t0, e.g. sample_ode(reverse=True)) is
+    integrated by the time reflection τ = -t: dx/dτ = -drift(x, -τ)."""
+    if float(t1) < float(t0):
+        return dopri5(
+            lambda x, tau: -drift(x, -tau), x0, -float(t0), -float(t1),
+            rtol=rtol, atol=atol, max_steps=max_steps, initial_step=initial_step,
+        )
     t0 = jnp.asarray(t0, jnp.float32)
     t1 = jnp.asarray(t1, jnp.float32)
 
-    def step_once(t, x, h):
-        ks = []
-        for i in range(7):
+    def step_once(t, x, h, k1):
+        ks = [k1]
+        for i in range(1, 7):
             xi = x
             for j, aij in enumerate(_A[i]):
                 xi = xi + h * aij * ks[j]
@@ -74,14 +83,17 @@ def dopri5(
         err = x5 - x4
         scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x5))
         err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
-        return x5, err_norm
+        # FSAL: _B5[6]=0 and _C[6]=1.0, so k7 evaluated at (x5, t+h) is the
+        # k1 of the next accepted step — carrying it saves 1 of 7 drift
+        # evaluations per step (each one a full model forward)
+        return x5, err_norm, ks[6]
 
     def cond(s: _State):
         return (s.t < t1) & (s.steps < max_steps)
 
     def body(s: _State):
         h = jnp.minimum(s.h, t1 - s.t)
-        x5, err_norm = step_once(s.t, s.x, h)
+        x5, err_norm, k_last = step_once(s.t, s.x, h, s.k1)
         accept = err_norm <= 1.0
         factor = jnp.clip(0.9 * (1.0 / jnp.maximum(err_norm, 1e-10)) ** 0.2, 0.2, 10.0)
         new_h = jnp.clip(h * factor, 1e-6, 1.0)
@@ -91,6 +103,7 @@ def dopri5(
             h=new_h,
             steps=s.steps + 1,
             rejected=s.rejected + jnp.where(accept, 0, 1),
+            k1=jnp.where(accept, k_last, s.k1),
         )
 
     init = _State(
@@ -99,6 +112,7 @@ def dopri5(
         h=jnp.asarray(initial_step, jnp.float32),
         steps=jnp.zeros((), jnp.int32),
         rejected=jnp.zeros((), jnp.int32),
+        k1=drift(x0, t0),
     )
     final = jax.lax.while_loop(cond, body, init)
     return final.x
@@ -154,11 +168,25 @@ def make_likelihood_fn(
         ts = grid[:-1]
         dts = grid[1:] - grid[:-1]
 
-        def step(carry, tdt):
-            (xc, lp) = carry
-            t, dt = tdt
-            dx, dlp = ode_func((xc, lp), t)
-            return (xc + dt * dx, lp + dt * dlp), None
+        if method == "rk4":
+            def step(carry, tdt):
+                (xc, lp) = carry
+                t, dt = tdt
+                k1x, k1l = ode_func((xc, lp), t)
+                k2x, k2l = ode_func((xc + 0.5 * dt * k1x, lp), t + 0.5 * dt)
+                k3x, k3l = ode_func((xc + 0.5 * dt * k2x, lp), t + 0.5 * dt)
+                k4x, k4l = ode_func((xc + dt * k3x, lp), t + dt)
+                xn = xc + dt / 6.0 * (k1x + 2 * k2x + 2 * k3x + k4x)
+                ln = lp + dt / 6.0 * (k1l + 2 * k2l + 2 * k3l + k4l)
+                return (xn, ln), None
+        elif method == "euler":
+            def step(carry, tdt):
+                (xc, lp) = carry
+                t, dt = tdt
+                dx, dlp = ode_func((xc, lp), t)
+                return (xc + dt * dx, lp + dt * dlp), None
+        else:
+            raise NotImplementedError(f"likelihood method {method!r} (rk4/euler)")
 
         (z, delta_logp), _ = jax.lax.scan(
             step, (x, jnp.zeros((x.shape[0],), x.dtype)), (ts, dts)

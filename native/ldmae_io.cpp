@@ -231,11 +231,25 @@ void* shard_open(const char* path) {
   s->base = (uint8_t*)mmap(nullptr, s->size, PROT_READ, MAP_PRIVATE, s->fd, 0);
   if (s->base == MAP_FAILED) { close(s->fd); delete s; return nullptr; }
   madvise(s->base, s->size, MADV_RANDOM);
+  // validate the header length against the file size before scanning —
+  // a truncated/corrupt shard must fail cleanly, not SIGSEGV past the map
+  if (s->size < 8) {
+    munmap(s->base, s->size); close(s->fd); delete s; return nullptr;
+  }
   uint64_t hlen;
   memcpy(&hlen, s->base, 8);  // little-endian header length
+  if (hlen > s->size - 8) {
+    munmap(s->base, s->size); close(s->fd); delete s; return nullptr;
+  }
   s->data_start = 8 + hlen;
   if (!parse_header((const char*)s->base + 8, hlen, s->tensors)) {
     munmap(s->base, s->size); close(s->fd); delete s; return nullptr;
+  }
+  // tensor extents must stay inside the file
+  for (auto& t : s->tensors) {
+    if (t.end < t.begin || s->data_start + t.end > s->size) {
+      munmap(s->base, s->size); close(s->fd); delete s; return nullptr;
+    }
   }
   return s;
 }
@@ -266,7 +280,7 @@ int64_t shard_num_rows(void* handle, const char* name) {
 int64_t shard_row_bytes(void* handle, const char* name) {
   Shard* s = (Shard*)handle;
   Tensor* t = find_tensor(s, name);
-  if (!t || t->shape.empty()) return -1;
+  if (!t || t->shape.empty() || t->shape[0] <= 0) return -1;
   uint64_t total = t->end - t->begin;
   return (int64_t)(total / (uint64_t)t->shape[0]);
 }
@@ -277,7 +291,7 @@ int64_t shard_gather(void* handle, const char* name, const int64_t* indices,
                      int64_t n_idx, uint8_t* out, int num_threads) {
   Shard* s = (Shard*)handle;
   Tensor* t = find_tensor(s, name);
-  if (!t || t->shape.empty()) return -1;
+  if (!t || t->shape.empty() || t->shape[0] <= 0) return -1;
   const uint64_t row_bytes = (t->end - t->begin) / (uint64_t)t->shape[0];
   const uint8_t* base = s->base + s->data_start + t->begin;
   const int64_t rows = t->shape[0];

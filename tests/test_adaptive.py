@@ -80,3 +80,44 @@ class TestLikelihood:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestDopri5Reverse:
+    def test_reverse_interval_integrates(self):
+        """dopri5 with a decreasing interval (sample_ode(reverse=True) path)
+        must actually integrate — it used to return x0 untouched because the
+        while-loop condition was False at entry."""
+        from ldmae_tpu.transport.adaptive import dopri5
+
+        x0 = jnp.ones((4,))
+        # dx/dt = x integrated from t=1 down to t=0: x(0) = x(1)·e^{-1}
+        out = dopri5(lambda x, t: x, x0, 1.0, 0.0, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(out), np.e**-1, rtol=1e-4)
+
+    def test_forward_still_exact(self):
+        from ldmae_tpu.transport.adaptive import dopri5
+
+        out = dopri5(lambda x, t: x, jnp.ones((4,)), 0.0, 1.0, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(out), np.e, rtol=1e-4)
+
+
+class TestLikelihoodMethod:
+    def test_rk4_more_accurate_than_euler(self):
+        """make_likelihood_fn's method parameter must be honored: on a coarse
+        grid RK4 must beat Euler against a fine-grid reference."""
+        from ldmae_tpu.transport import create_transport
+        from ldmae_tpu.transport.adaptive import make_likelihood_fn
+
+        transport = create_transport("Linear", "velocity")
+
+        def model_fn(x, t, **kw):
+            return -0.5 * x  # simple linear field
+
+        x = jax.random.normal(jax.random.key(0), (4, 2, 2, 2))
+        key = jax.random.key(1)
+        ref = make_likelihood_fn(transport, num_steps=400, method="rk4")(key, x, model_fn)[0]
+        rk4 = make_likelihood_fn(transport, num_steps=12, method="rk4")(key, x, model_fn)[0]
+        eul = make_likelihood_fn(transport, num_steps=12, method="euler")(key, x, model_fn)[0]
+        err_rk4 = float(jnp.abs(rk4 - ref).mean())
+        err_eul = float(jnp.abs(eul - ref).mean())
+        assert err_rk4 < err_eul, (err_rk4, err_eul)

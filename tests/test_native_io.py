@@ -74,3 +74,46 @@ class TestShardReader:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestGatherDtypes:
+    def test_int32_and_float32_not_confused(self, tmp_path):
+        """gather's dtype comes from the safetensors header, not itemsize —
+        an int32 tensor must not come back as a float32 bit-view."""
+        pytest.importorskip("safetensors")
+        from safetensors.numpy import save_file
+
+        from ldmae_tpu.data.native_io import NativeShard, get_lib
+
+        if get_lib() is None:
+            pytest.skip("native lib unavailable")
+        p = str(tmp_path / "s.safetensors")
+        save_file(
+            {
+                "ints": np.arange(12, dtype=np.int32).reshape(4, 3),
+                "floats": np.linspace(0, 1, 12, dtype=np.float32).reshape(4, 3),
+            },
+            p,
+        )
+        sh = NativeShard(p)
+        ints = sh.gather("ints", np.array([0, 2]))
+        floats = sh.gather("floats", np.array([1]))
+        assert ints.dtype == np.int32
+        np.testing.assert_array_equal(ints, [[0, 1, 2], [6, 7, 8]])
+        assert floats.dtype == np.float32
+        np.testing.assert_allclose(floats[0], np.linspace(0, 1, 12)[3:6], rtol=1e-6)
+
+    def test_truncated_shard_fails_cleanly(self, tmp_path):
+        from safetensors.numpy import save_file
+
+        from ldmae_tpu.data.native_io import NativeShard, get_lib
+
+        if get_lib() is None:
+            pytest.skip("native lib unavailable")
+        p = str(tmp_path / "t.safetensors")
+        save_file({"x": np.zeros((4, 8), np.float32)}, p)
+        data = open(p, "rb").read()
+        # corrupt the 8-byte header-length field to a huge value
+        open(p, "wb").write(b"\xff\xff\xff\xff\xff\xff\xff\x0f" + data[8:])
+        with pytest.raises(OSError):
+            NativeShard(p)
