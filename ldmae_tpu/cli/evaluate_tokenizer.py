@@ -86,7 +86,7 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
             params, vspec, consts, latents, compute_dtype=jnp.bfloat16
         )
         l = lpips_fn(lpips_params, decoded, imgs).mean()
-        s = ssim(decoded, imgs, data_range=2.0)
+        s = ssim(decoded, imgs, data_range=(-1.0, 1.0))
         u8 = jnp.clip(127.5 * decoded + 128.0, 0, 255).transpose(0, 2, 3, 1).astype(jnp.uint8)
         return u8, l, s
 

@@ -28,9 +28,7 @@ def main():
     from ..eval.evaluator import Evaluator, compute_statistics
 
     ev = Evaluator(weights_path=a.weights, batch_size=a.batch_size)
-    pooled, spatial = ev.read_activations(a.input)
-    if a.limit:
-        pooled, spatial = pooled[: a.limit], spatial[: a.limit]
+    pooled, spatial = ev.read_activations(a.input, limit=a.limit)
     st = compute_statistics(pooled)
     st_s = compute_statistics(spatial)
     np.savez(a.out, mu=st.mu, sigma=st.sigma, mu_s=st_s.mu, sigma_s=st_s.sigma)

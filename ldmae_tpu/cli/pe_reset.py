@@ -18,6 +18,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -59,7 +60,13 @@ def main():
     p.add_argument("--input_size", type=int, default=256)
     p.add_argument("--patch_size", type=int, default=8)
     a = p.parse_args()
-    out = a.save_dir or a.ckpt_dir.replace(".pth", "_pe.pth")
+    if a.save_dir:
+        out = a.save_dir
+    else:
+        stem, ext = os.path.splitext(a.ckpt_dir)
+        out = f"{stem}_pe{ext or '.pth'}"
+    if os.path.abspath(out) == os.path.abspath(a.ckpt_dir):
+        p.error("output path equals the input checkpoint; pass --save_dir")
     print(pe_reset(a.ckpt_dir, out, a.input_size, a.patch_size))
 
 

@@ -151,10 +151,18 @@ class InatDataset:
         self.root = root
         self.img_size = img_size
         anns = {a["image_id"]: a["category_id"] for a in manifest.get("annotations", [])}
-        self.samples = [
-            (os.path.join(root, im["file_name"]), anns.get(im.get("id", i), 0))
-            for i, im in enumerate(manifest.get("images", []))
-        ]
+        self.samples = []
+        for im in manifest.get("images", []):
+            if "id" not in im or im["id"] not in anns:
+                # defaulting to category 0 would silently mislabel
+                # unannotated images as a real class
+                raise KeyError(
+                    f"image {im.get('file_name', '?')!r} has no matching "
+                    "annotation in the manifest"
+                )
+            self.samples.append(
+                (os.path.join(root, im["file_name"]), anns[im["id"]])
+            )
         cats = sorted({label for _, label in self.samples})
         self._remap = {c: i for i, c in enumerate(cats)}
 
@@ -196,13 +204,24 @@ def build_transform(is_train: bool, input_size: int = 224):
         return tf
 
     def tf(img: Image.Image, rng=None) -> np.ndarray:
-        # eval: resize shorter side to size/0.875 then center crop
-        size = int(input_size / 0.875)
+        # eval (datasets.py:290-301): Resize(shorter side -> input/crop_pct,
+        # bicubic) then a PLAIN center crop — no second rescale; crop_pct is
+        # 224/256 for input_size <= 224 and 1.0 above (the reference keeps
+        # the 224-protocol ratio only at small sizes)
+        crop_pct = 224 / 256 if input_size <= 224 else 1.0
+        size = int(input_size / crop_pct)
         w, h = img.size
         scale = size / min(w, h)
-        img = img.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
-        img = center_crop_arr(img, input_size) if min(img.size) >= input_size else img
-        return _to_tensor_norm(img)
+        img = img.resize(
+            (max(round(w * scale), input_size), max(round(h * scale), input_size)),
+            Image.BICUBIC,
+        )
+        arr = np.array(img)
+        cy = (arr.shape[0] - input_size) // 2
+        cx = (arr.shape[1] - input_size) // 2
+        return _to_tensor_norm(
+            Image.fromarray(arr[cy : cy + input_size, cx : cx + input_size])
+        )
 
     return tf
 

@@ -302,26 +302,35 @@ class Evaluator:
             spatial.append(np.asarray(sp))
         return np.concatenate(pooled), np.concatenate(spatial)
 
-    def read_activations(self, npz_or_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+    def read_activations(
+        self, npz_or_dir: str, limit: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """Read an arr_0 npz (save_npz.py output) or an image folder and
         stream it through Inception. Computed activations are cached back
-        into the npz under arr_1/arr_2 and reused (evaluator.py:46-67)."""
+        into the npz under arr_1/arr_2 and reused (evaluator.py:46-67).
+
+        ``limit`` bounds the images read AND computed (not just the result):
+        at 50k-image scale a post-hoc slice would waste ~limit/50k of the
+        Inception work and the whole decode/stack memory."""
         if npz_or_dir.endswith(".npz"):
             with np.load(npz_or_dir) as f:
                 if "arr_1" in f.files and "arr_2" in f.files:
-                    return f["arr_1"][:], f["arr_2"][:]
+                    a1, a2 = f["arr_1"][:], f["arr_2"][:]
+                    return (a1[:limit], a2[:limit]) if limit else (a1, a2)
                 arrays = {k: f[k][:] for k in f.files}
-            acts = self.compute_activations(arrays["arr_0"])
-            try:
-                np.savez(
-                    npz_or_dir, **arrays, arr_1=acts[0], arr_2=acts[1]
-                )
-            except OSError:
-                pass  # read-only location; skip caching
+            imgs = arrays["arr_0"][:limit] if limit else arrays["arr_0"]
+            acts = self.compute_activations(imgs)
+            if not limit:  # don't cache partial activations
+                try:
+                    np.savez(npz_or_dir, **arrays, arr_1=acts[0], arr_2=acts[1])
+                except OSError:
+                    pass  # read-only location; skip caching
             return acts
         from .fid import get_folder_files
 
         files = get_folder_files(npz_or_dir)
+        if limit:
+            files = files[:limit]
         from PIL import Image
 
         imgs = np.stack(

@@ -44,7 +44,18 @@ def ssim(
     k1: float = 0.01,
     k2: float = 0.03,
 ) -> jnp.ndarray:
-    """Mean SSIM over a batch. img1/img2: (N, C, H, W) float."""
+    """Mean SSIM over a batch. img1/img2: (N, C, H, W) float.
+
+    data_range may be a (low, high) tuple, in which case inputs are clamped
+    to it first — matching torchmetrics' StructuralSimilarityIndexMeasure
+    with a tuple data_range, which the reference uses with (-1.0, 1.0)
+    (evaluate_tokenizer.py:152-160); raw VAE decodes can exceed the range.
+    """
+    if isinstance(data_range, (tuple, list)):
+        lo, hi = data_range
+        img1 = jnp.clip(img1, lo, hi)
+        img2 = jnp.clip(img2, lo, hi)
+        data_range = float(hi) - float(lo)
     kern = jnp.asarray(_gaussian_kernel(kernel_size, sigma))
     c = img1.shape[1]
     w = jnp.broadcast_to(kern[None, None], (c, 1, kernel_size, kernel_size))

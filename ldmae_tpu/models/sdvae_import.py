@@ -54,9 +54,17 @@ def diffusers_to_ldm_state_dict(
             copy(f"{dst}.nin_shortcut.bias", f"{src}.conv_shortcut.bias")
 
     def attn(dst, src):
-        copy(f"{dst}.norm.weight", f"{src}.group_norm.weight")
-        copy(f"{dst}.norm.bias", f"{src}.group_norm.bias")
-        for a, b in [("q", "to_q"), ("k", "to_k"), ("v", "to_v"), ("proj_out", "to_out.0")]:
+        # modern diffusers naming first, then the pre-0.17 legacy names
+        # (query/key/value/proj_attn with norm instead of group_norm)
+        if f"{src}.group_norm.weight" in sd:
+            copy(f"{dst}.norm.weight", f"{src}.group_norm.weight")
+            copy(f"{dst}.norm.bias", f"{src}.group_norm.bias")
+            names = [("q", "to_q"), ("k", "to_k"), ("v", "to_v"), ("proj_out", "to_out.0")]
+        else:
+            copy(f"{dst}.norm.weight", f"{src}.norm.weight")
+            copy(f"{dst}.norm.bias", f"{src}.norm.bias")
+            names = [("q", "query"), ("k", "key"), ("v", "value"), ("proj_out", "proj_attn")]
+        for a, b in names:
             w = sd.get(f"{src}.{b}.weight")
             if w is None:
                 continue
@@ -127,6 +135,11 @@ def load_sdvae(ckpt_path: str):
     raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     if isinstance(raw, dict) and "model" in raw:
         raw = raw["model"]
-    sd = {k: v.numpy() for k, v in raw.items() if hasattr(v, "numpy")}
+    # torch bfloat16 tensors raise from .numpy(); go through float32
+    sd = {
+        k: (v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy())
+        for k, v in raw.items()
+        if hasattr(v, "numpy")
+    }
     ldm_sd = diffusers_to_ldm_state_dict(sd, spec)
     return import_conv_vae_state_dict(ldm_sd, spec), spec

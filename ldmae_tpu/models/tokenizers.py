@@ -23,6 +23,14 @@ import numpy as np
 class _Base:
     latent_dim: int
 
+    def _next_key(self) -> "jax.Array":
+        """Fresh per-call sampling key (the reference draws fresh Gaussian
+        noise from torch's global RNG on every posterior.sample())."""
+        if not hasattr(self, "_key"):
+            self._key = jax.random.key(0)
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
     def img_transform(
         self,
         p_hflip: float = 0,
@@ -69,7 +77,12 @@ class VMAE_Tokenizer(_Base):
             kl_loss_weight=True, smooth_output=True,
         )
         self.consts = VMAEConsts(self.spec)
-        if weight_path and os.path.exists(weight_path):
+        if weight_path:
+            # a given-but-missing path must fail loudly (the reference
+            # crashes in torch.load, extract_features.py:62) — silent random
+            # weights would make a whole extraction run produce garbage
+            if not os.path.exists(weight_path):
+                raise FileNotFoundError(f"tokenizer checkpoint not found: {weight_path}")
             self.params = torch_import.import_vmae_checkpoint(weight_path, self.spec)
         else:
             self.params = init_vmae_params(jax.random.key(0), self.spec)
@@ -89,7 +102,7 @@ class VMAE_Tokenizer(_Base):
 
     def encode_images(self, images, key: Optional[jax.Array] = None) -> jnp.ndarray:
         """posterior.sample() like models_mae.py:989-998."""
-        key = key if key is not None else jax.random.key(0)
+        key = key if key is not None else self._next_key()
         return self._encode(jnp.asarray(images), key)
 
     def decode_to_images(self, z) -> np.ndarray:
@@ -109,7 +122,7 @@ class _ConvVAEWrapper(_Base):
         self._decode = jax.jit(lambda z: cv.decode_to_images(self.params, self.spec, z))
 
     def encode_images(self, images, key: Optional[jax.Array] = None) -> jnp.ndarray:
-        key = key if key is not None else jax.random.key(0)
+        key = key if key is not None else self._next_key()
         return self._encode(jnp.asarray(images), key)
 
     def decode_to_images(self, z) -> np.ndarray:
@@ -122,7 +135,9 @@ class VA_VAE(_ConvVAEWrapper):
     def __init__(self, ckpt_path: Optional[str] = None, img_size: int = 256, embed_dim: int = 32):
         from . import conv_vae as cv
 
-        if ckpt_path and os.path.exists(ckpt_path):
+        if ckpt_path:
+            if not os.path.exists(ckpt_path):
+                raise FileNotFoundError(f"tokenizer checkpoint not found: {ckpt_path}")
             params, spec = cv.load_vavae(ckpt_path, embed_dim)
         else:
             spec = cv.vavae_spec(embed_dim)
@@ -136,7 +151,9 @@ class MAR_VAE(_ConvVAEWrapper):
     def __init__(self, ckpt_path: Optional[str] = None, img_size: int = 256, embed_dim: int = 16):
         from . import conv_vae as cv
 
-        if ckpt_path and os.path.exists(ckpt_path):
+        if ckpt_path:
+            if not os.path.exists(ckpt_path):
+                raise FileNotFoundError(f"tokenizer checkpoint not found: {ckpt_path}")
             params, spec = cv.load_marvae(ckpt_path, embed_dim)
         else:
             spec = cv.marvae_spec(embed_dim)
@@ -153,7 +170,9 @@ class SD_VAE(_ConvVAEWrapper):
         from . import conv_vae as cv
         from .sdvae_import import load_sdvae
 
-        if ckpt_path and os.path.exists(ckpt_path):
+        if ckpt_path:
+            if not os.path.exists(ckpt_path):
+                raise FileNotFoundError(f"tokenizer checkpoint not found: {ckpt_path}")
             params, spec = load_sdvae(ckpt_path)
         else:
             spec = cv.sdvae_spec()
@@ -172,7 +191,20 @@ def build_tokenizer(model_name: str, weight_path: str = "", img_size: int = 256)
     (extract_features.py:56-99): 'vmae*' → VMAE, 'vavae' → VA_VAE,
     'marvae' → MAR_VAE, {'ae','dae','vae','sdv3'} → SD_VAE."""
     if model_name.startswith("vmae"):
-        return VMAE_Tokenizer(weight_path, img_size)
+        from .vmae import _FACTORIES
+
+        # 'vmae'/'vmae_f8d16' -> production arch; an explicit factory name
+        # ('mae_for_ldmae_…' with or without the vmae_ prefix) selects it —
+        # silently building the default arch for an unknown name would hand
+        # back wrong-shaped latents
+        arch = "mae_for_ldmae_f8d16_prev"
+        if model_name not in ("vmae", "vmae_f8d16"):
+            cand = model_name[len("vmae_"):] if model_name.startswith("vmae_") else model_name
+            if cand in _FACTORIES:
+                arch = cand
+            else:
+                raise ValueError(f"unknown VMAE tokenizer arch {model_name!r}")
+        return VMAE_Tokenizer(weight_path, img_size, arch=arch)
     if model_name == "vavae":
         return VA_VAE(weight_path, img_size)
     if model_name == "marvae":

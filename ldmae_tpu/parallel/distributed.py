@@ -44,6 +44,16 @@ def init_distributed_mode(
         return
 
     env = os.environ
+
+    def _local_ids(local_rank_var: str):
+        # torchrun-style one-process-per-accelerator launches set LOCAL_RANK;
+        # without pinning local_device_ids every process would claim ALL
+        # local devices (the reference pins via torch.cuda.set_device(gpu),
+        # misc.py:367-402). TPU pods manage visibility themselves — only pin
+        # when a local rank is present.
+        lr = env.get(local_rank_var)
+        return [int(lr)] if lr is not None else None
+
     if "RANK" in env and "WORLD_SIZE" in env and int(env["WORLD_SIZE"]) > 1:
         addr = env.get("MASTER_ADDR", "127.0.0.1")
         port = env.get("MASTER_PORT", "29500")
@@ -51,6 +61,7 @@ def init_distributed_mode(
             coordinator_address=f"{addr}:{port}",
             num_processes=int(env["WORLD_SIZE"]),
             process_id=int(env["RANK"]),
+            local_device_ids=_local_ids("LOCAL_RANK"),
         )
     elif "SLURM_PROCID" in env and int(env.get("SLURM_NTASKS", "1")) > 1:
         jax.distributed.initialize()  # jax reads SLURM vars itself
@@ -61,6 +72,7 @@ def init_distributed_mode(
             coordinator_address=f"{addr}:{port}",
             num_processes=int(env["OMPI_COMM_WORLD_SIZE"]),
             process_id=int(env["OMPI_COMM_WORLD_RANK"]),
+            local_device_ids=_local_ids("OMPI_COMM_WORLD_LOCAL_RANK"),
         )
     elif env.get("LDMAE_MULTIHOST", "0") == "1":
         # TPU pod: everything auto-discovered
