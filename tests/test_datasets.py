@@ -157,3 +157,28 @@ class TestHFImageFolder:
         rng = np.random.default_rng(0)
         img2, _ = ds.get_train(1, rng, 16)
         assert img2.shape == (3, 16, 16)
+
+
+class TestTokenizerFactoryErrors:
+    def test_missing_checkpoint_raises(self, tmp_path):
+        from ldmae_tpu.models.tokenizers import build_tokenizer
+
+        with pytest.raises(FileNotFoundError):
+            build_tokenizer("vmae", str(tmp_path / "nope.pth"), img_size=32)
+
+    def test_unknown_vmae_arch_raises(self):
+        from ldmae_tpu.models.tokenizers import build_tokenizer
+
+        with pytest.raises(ValueError):
+            build_tokenizer("vmae_f16d32")
+
+    def test_fresh_noise_per_encode(self):
+        import jax.numpy as jnp
+
+        from ldmae_tpu.models.tokenizers import VMAE_Tokenizer
+
+        tok = VMAE_Tokenizer(None, img_size=32, arch="mae_for_ldmae_f8d16_small")
+        imgs = np.zeros((1, 3, 32, 32), np.float32)
+        z1 = np.asarray(tok.encode_images(imgs))
+        z2 = np.asarray(tok.encode_images(imgs))
+        assert not np.allclose(z1, z2)  # fresh posterior noise each call

@@ -61,3 +61,22 @@ class TestSSIM:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestSsimClamp:
+    def test_tuple_data_range_clamps_like_torchmetrics(self):
+        """Out-of-range reconstructions must be clamped before SSIM when a
+        (low, high) data_range is given (the reference evaluates with
+        torchmetrics and data_range=(-1.0, 1.0))."""
+        import jax
+
+        from ldmae_tpu.eval.metrics import ssim
+
+        rng = jax.random.key(0)
+        a = jax.random.uniform(rng, (2, 3, 32, 32), minval=-1, maxval=1)
+        b = a + 0.8  # pushes many values past +1
+        clamped = float(ssim(jnp.clip(a, -1, 1), jnp.clip(b, -1, 1), data_range=2.0))
+        tupled = float(ssim(a, b, data_range=(-1.0, 1.0)))
+        np.testing.assert_allclose(tupled, clamped, rtol=1e-6)
+        # and it differs from the unclamped scalar-range result
+        assert abs(tupled - float(ssim(a, b, data_range=2.0))) > 1e-5
