@@ -92,19 +92,23 @@ def main():
     key = jax.random.key(config.train.global_seed)
     spec, consts, params, transport, tx, step_fn = build_from_config(config, key)
 
-    if config.parallel.rope_layout == "half":
-        from ..models.lightningdit import permute_qk_for_half_rope
-
-        params = permute_qk_for_half_rope(params, spec)
-        logger.info("using half-split RoPE layout (export applies the inverse)")
-
-    # warm start from a torch checkpoint (train_accum.py:95-103, 308-334)
+    # warm start from a torch checkpoint (train_accum.py:95-103, 308-334);
+    # MUST precede the half-rope permutation — imported weights are in the
+    # canonical interleaved layout, so permuting first would let the warm
+    # start silently overwrite the permutation (inference.py orders the
+    # same way)
     if config.train.weight_init:
         loaded = torch_import.import_dit_checkpoint(
             config.train.weight_init, spec, key="model"
         )
         params = torch_import.warm_start_filter(params, loaded)
         logger.info(f"warm-started from {config.train.weight_init}")
+
+    if config.parallel.rope_layout == "half":
+        from ..models.lightningdit import permute_qk_for_half_rope
+
+        params = permute_qk_for_half_rope(params, spec)
+        logger.info("using half-split RoPE layout (export applies the inverse)")
 
     params = shard_params(mesh, params, use_fsdp=args.fsdp > 1, use_tp=args.tp > 1)
     state = init_train_state(params, tx)
@@ -132,21 +136,58 @@ def main():
 
     accum = config.train.gradient_accumulation_steps
     micro = config.train.global_batch_size // accum
+    n_proc = jax.process_count()
+    assert micro % n_proc == 0, (
+        f"per-accum batch {micro} must divide across {n_proc} processes"
+    )
+    micro_local = micro // n_proc  # this host's slice of the global batch
     from ..utils.prefetch import Prefetcher
+
+    # resume the data stream where the restored step left off (each epoch
+    # reshuffles with seed+epoch, so step -> (epoch, batch offset) is exact)
+    n_host = len(range(jax.process_index(), len(dataset), n_proc))
+    batches_per_epoch = max(n_host // (micro_local * accum), 1)
+    start_epoch = int(state.step) // batches_per_epoch
+    skip = int(state.step) % batches_per_epoch
 
     batches = Prefetcher(
         dataset.iter_batches(
-            micro * accum,
+            micro_local * accum,
             shuffle=True,
             seed=config.train.global_seed,
             process_index=jax.process_index(),
-            process_count=jax.process_count(),
+            process_count=n_proc,
+            start_epoch=start_epoch,
+            skip_batches=skip,
         ),
         buffer_size=4,
     )
 
     step_jit = jax.jit(step_fn, donate_argnums=(0,))
     rng = jax.random.key(config.train.global_seed + 1)
+
+    val_batch = val_step = None
+    if config.data.valid_path and os.path.isdir(config.data.valid_path):
+        from ..train.train_dit import evaluate_step
+
+        vds = ImgLatentDataset(
+            config.data.valid_path,
+            latent_norm=config.data.latent_norm,
+            latent_multiplier=config.data.latent_multiplier,
+            sample=config.data.sample,
+        )
+        vb = min(micro_local, len(vds))  # small validation sets must not crash
+        vraw = next(vds.iter_batches(vb, shuffle=False, epochs=1, drop_last=False))
+        val_batch = {"x": jnp.asarray(vraw["x"]), "y": jnp.asarray(vraw["y"])}
+        val_dtype = (
+            jnp.bfloat16 if config.parallel.compute_dtype == "bfloat16" else jnp.float32
+        )
+        val_step = jax.jit(lambda p, b, k: evaluate_step(
+            spec, consts, transport, p, b, k,
+            compute_dtype=val_dtype,
+            attn_impl=config.parallel.train_attention_impl,
+            rope_layout=config.parallel.rope_layout,
+        ))
 
     # Losses stay on device between logs (the reference syncs only at
     # log_every, train_accum.py:255-259) — a per-step float() would block
@@ -159,8 +200,8 @@ def main():
     while train_steps < config.train.max_steps:
         host = next(batches)
         batch = {
-            "x": host["x"].reshape(accum, micro, *host["x"].shape[1:]),
-            "y": host["y"].reshape(accum, micro),
+            "x": host["x"].reshape(accum, micro_local, *host["x"].shape[1:]),
+            "y": host["y"].reshape(accum, micro_local),
         }
         batch = shard_batch(mesh, batch, axis=1)
         state, metrics = step_jit(state, batch, rng)
@@ -182,37 +223,20 @@ def main():
             start = time.time()
 
         if train_steps % config.train.ckpt_every == 0 and train_steps > 0:
-            if jax.process_index() == 0:
-                path = save_checkpoint(exp_dir, state, config=config.to_dict())
-                logger.info(f"Saved checkpoint to {path}")
+            # every process participates: Orbax save on sharded arrays is a
+            # collective (rank-0-only would deadlock multi-host runs)
+            path = save_checkpoint(exp_dir, state, config=config.to_dict())
+            logger.info(f"Saved checkpoint to {path}")
             # validation loss at fixed t-range (train_accum.py:287-297; the
             # reference references an undefined evaluate() — ours works)
-            if config.data.valid_path and os.path.isdir(config.data.valid_path):
-                from ..train.train_dit import evaluate_step
-
-                vds = ImgLatentDataset(
-                    config.data.valid_path,
-                    latent_norm=config.data.latent_norm,
-                    latent_multiplier=config.data.latent_multiplier,
-                    sample=config.data.sample,
-                )
-                vbatch = next(vds.iter_batches(micro, shuffle=False, epochs=1))
-                val_loss = float(
-                    evaluate_step(
-                        spec, consts, transport, state.params,
-                        {"x": jnp.asarray(vbatch["x"]), "y": jnp.asarray(vbatch["y"])},
-                        jax.random.key(0),
-                        attn_impl=config.parallel.attention_impl,
-                        rope_layout=config.parallel.rope_layout,
-                    )
-                )
+            if val_batch is not None:
+                val_loss = float(val_step(state.params, val_batch, jax.random.key(0)))
                 logger.info(f"Validation Loss: {val_loss:.4f}")
                 if writer is not None:
                     writer.add_scalar("Loss/validation", val_loss, train_steps)
 
-    if jax.process_index() == 0:
-        path = save_checkpoint(exp_dir, state, config=config.to_dict())
-        logger.info(f"Saved final checkpoint to {path}")
+    path = save_checkpoint(exp_dir, state, config=config.to_dict())
+    logger.info(f"Saved final checkpoint to {path}")
 
 
 if __name__ == "__main__":

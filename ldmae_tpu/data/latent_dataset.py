@@ -128,6 +128,8 @@ class ImgLatentDataset:
         epochs: Optional[int] = None,
         process_index: int = 0,
         process_count: int = 1,
+        start_epoch: int = 0,
+        skip_batches: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Host-sharded batch iterator (replaces DistributedSampler+DataLoader).
 
@@ -136,16 +138,22 @@ class ImgLatentDataset:
         applied; moment-sampling (when ``sample``) is left to the caller's
         device-side code when ``device_sample`` shards carry 2C channels —
         here it's applied on host for simplicity/parity.
+
+        start_epoch/skip_batches resume the data stream mid-run (each epoch
+        reshuffles with seed+epoch, so the restored step maps to an exact
+        position); skipped batches cost only index arithmetic, no IO.
         """
         n = len(self)
-        epoch = 0
-        while epochs is None or epoch < epochs:
+        epoch = start_epoch
+        while epochs is None or epoch < start_epoch + epochs:
             order = np.arange(n)
             if shuffle:
                 np.random.default_rng(seed + epoch).shuffle(order)
             order = order[process_index::process_count]
             stop = len(order) - (len(order) % batch_size if drop_last else 0)
             for s in range(0, stop, batch_size):
+                if epoch == start_epoch and s < skip_batches * batch_size:
+                    continue
                 idx = order[s : s + batch_size]
                 feats, labels = zip(*(self[i] for i in idx))
                 yield {

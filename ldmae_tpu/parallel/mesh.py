@@ -51,12 +51,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
     """Device-put a host batch with dim ``axis`` sharded over (dp, fsdp).
 
-    axis=1 for gradient-accumulation-shaped batches (A, B, ...)."""
+    axis=1 for gradient-accumulation-shaped batches (A, B, ...).
+
+    Multi-process: each process passes ONLY ITS SLICE of the global batch
+    (global_size/process_count rows on ``axis``) and the global array is
+    assembled from the per-process shards — a plain device_put of a
+    process-local array under a global sharding would instead pick
+    global-index rows out of each host's local data, silently dropping
+    (P-1)/P of every loaded batch."""
+    multiprocess = jax.process_count() > 1
 
     def _put(x):
         inner = [None] * x.ndim
         inner[axis] = ("dp", "fsdp")
-        return jax.device_put(x, NamedSharding(mesh, P(*inner)))
+        sharding = NamedSharding(mesh, P(*inner))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, tree)
 

@@ -66,6 +66,12 @@ def export_dit_state_dict(params: Params, spec: DiTSpec) -> Dict[str, Any]:
         if spec.use_qknorm:
             sd[f"{pre}.attn.q_norm.weight"] = _t(b["attn"]["q_norm"]["scale"][i])
             sd[f"{pre}.attn.k_norm.weight"] = _t(b["attn"]["k_norm"]["scale"][i])
+            # LayerNorm qk-norm (use_rmsnorm=False) carries a bias too —
+            # dropping it made strict=True reference loads fail and zeroed
+            # the trained biases on strict=False
+            if "bias" in b["attn"]["q_norm"]:
+                sd[f"{pre}.attn.q_norm.bias"] = _t(b["attn"]["q_norm"]["bias"][i])
+                sd[f"{pre}.attn.k_norm.bias"] = _t(b["attn"]["k_norm"]["bias"][i])
         if spec.use_swiglu:
             w1 = np.asarray(b["mlp"]["w1"]["w"][i]).T
             w2 = np.asarray(b["mlp"]["w2"]["w"][i]).T

@@ -80,7 +80,10 @@ def make_train_step(
             loss = terms["cos_loss"].mean() + mse
         else:
             loss = mse
-        return loss, mse
+        # aux = the TOTAL optimized loss (the reference's running_loss
+        # accumulates it, train_accum.py:255-259); logging only the MSE term
+        # would hide the cosine term from the curves
+        return loss, loss
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
@@ -90,6 +93,9 @@ def make_train_step(
             x = x[None]
             y = y[None]
         a = x.shape[0]
+        assert a == grad_accum, (
+            f"batch leading (accumulation) dim {a} != grad_accum={grad_accum}"
+        )
         key = jax.random.fold_in(rng, state.step)
         keys = jax.random.split(key, a)
 
@@ -114,7 +120,7 @@ def make_train_step(
             params,
         )
         metrics = {
-            "loss": mse_sum / a,
+            "loss": mse_sum / a,  # mean TOTAL loss over the micro-batches
             "grad_norm": optax.global_norm(grads),
         }
         return TrainState(state.step + 1, params, ema, opt_state), metrics

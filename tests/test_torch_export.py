@@ -137,3 +137,31 @@ class TestWarmStart:
             np.asarray(out["x_embedder"]["w"]), np.asarray(init["x_embedder"]["w"])
         )
         np.testing.assert_allclose(np.asarray(out["x_embedder"]["b"]), 7.0)
+
+
+class TestLayerNormQkNormExport:
+    def test_qknorm_bias_roundtrips(self):
+        """LayerNorm qk-norm (use_qknorm=True, use_rmsnorm=False) carries
+        biases; export must ship them (strict=True reference loads fail
+        otherwise) and the import round-trip must preserve them."""
+        from ldmae_tpu.train.torch_export import export_dit_state_dict
+        from ldmae_tpu.train.torch_import import import_dit_state_dict
+
+        spec = DiTSpec(
+            input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,
+            num_heads=4, num_classes=5, use_qknorm=True, use_swiglu=True,
+            use_rmsnorm=False,
+        )
+        params = init_dit_params(jax.random.key(0), spec)
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.1 * jax.random.normal(jax.random.key(1), p.shape), params
+        )
+        sd = export_dit_state_dict(params, spec)
+        assert "blocks.0.attn.q_norm.bias" in sd
+        assert "blocks.0.attn.k_norm.bias" in sd
+        back = import_dit_state_dict({k: np.asarray(v) for k, v in sd.items()}, spec)
+        np.testing.assert_allclose(
+            np.asarray(back["blocks"]["attn"]["q_norm"]["bias"]),
+            np.asarray(params["blocks"]["attn"]["q_norm"]["bias"]),
+            rtol=1e-6,
+        )
