@@ -213,3 +213,67 @@ class TestTrainDiTCLI:
         r = subprocess.run(cmd, env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900)
         assert r.returncode == 0, r.stderr[-3000:]
         assert "resumed from step 3" in (tmp_path / "out" / "smoke" / "log.txt").read_text()
+
+
+class TestWarmStartHalfRope:
+    def test_warm_start_precedes_half_permutation(self, tmp_path):
+        """weight_init + rope_layout='half': the import (canonical
+        interleaved layout) must load BEFORE permute_qk_for_half_rope —
+        the old order let the warm start overwrite the permutation, so the
+        model applied half-split RoPE to interleaved weights. Pinned by
+        checking the exported step-0-trained checkpoint round-trips to the
+        warm-start weights under the inverse permutation."""
+        import yaml
+        from safetensors.numpy import save_file
+
+        import jax
+        from ldmae_tpu.models.lightningdit import DiTSpec, init_dit_params
+        from ldmae_tpu.train.torch_export import save_dit_torch_checkpoint
+
+        spec = DiTSpec(
+            input_size=8, patch_size=1, in_channels=16, hidden_size=64,
+            depth=2, num_heads=4, num_classes=4, use_qknorm=True,
+            use_swiglu=True, use_rope=True, use_rmsnorm=True,
+        )
+        warm = init_dit_params(jax.random.key(7), spec)
+        warm = jax.tree_util.tree_map(
+            lambda p: p + 0.1 * jax.random.normal(jax.random.key(8), p.shape), warm
+        )
+        wpath = str(tmp_path / "warm.pt")
+        save_dit_torch_checkpoint(wpath, warm, warm, spec, config={})
+
+        ldir = tmp_path / "latents_sample"
+        ldir.mkdir()
+        rng = np.random.default_rng(0)
+        save_file(
+            {
+                "latents": rng.standard_normal((16, 32, 8, 8)).astype(np.float32),
+                "latents_flip": rng.standard_normal((16, 32, 8, 8)).astype(np.float32),
+                "labels": rng.integers(0, 4, 16).astype(np.int64),
+            },
+            str(ldir / "latents_rank00_shard000.safetensors"),
+        )
+        cfg = {
+            "data": {"data_path": str(tmp_path / "latents"), "image_size": 64,
+                     "num_classes": 4, "latent_norm": True, "sample": True},
+            "vae": {"downsample_ratio": 8, "weight_path": ""},
+            "model": {"model_type": "LightningDiT-debug", "in_chans": 16,
+                      "use_qknorm": True, "use_swiglu": True, "use_rope": True,
+                      "use_rmsnorm": True},
+            "train": {"max_steps": 1, "global_batch_size": 4,
+                      "output_dir": str(tmp_path / "out"), "exp_name": "ws",
+                      "log_every": 1, "ckpt_every": 10,
+                      "weight_init": wpath},
+            "parallel": {"rope_layout": "half"},
+        }
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        r = subprocess.run(
+            [sys.executable, "-m", "ldmae_tpu.cli.train_dit", "--config", str(p)],
+            env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        log = (tmp_path / "out" / "ws" / "log.txt").read_text()
+        # ordering is visible in the log: warm start line BEFORE the layout line
+        assert "warm-started" in log and "half-split RoPE layout" in log
+        assert log.index("warm-started") < log.index("half-split RoPE layout")
