@@ -27,11 +27,9 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     from ..data.images import ImageFolderDataset
     from ..eval.fid import calculate_fid_given_paths
     from ..eval.metrics import ssim
-    from ..models import vmae as vmae_mod
     from ..models.lpips import load_lpips_params, lpips as lpips_fn
-    from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec
+    from ..models.tokenizers import build_tokenizer_fns
     from ..ops.gaussian import diagonal_gaussian
-    from ..train import torch_import
     from PIL import Image
 
     model_type = config.vae.model_name
@@ -41,18 +39,12 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     os.makedirs(ref_path, exist_ok=True)
     os.makedirs(save_dir, exist_ok=True)
 
-    vspec = vmae_spec(
-        "mae_for_ldmae_f8d16_prev",
-        img_size=config.data.image_size,
-        ldmae_mode=True, no_cls=True, kl_loss_weight=True, smooth_output=True,
+    # tokenizer dispatch on config.vae.model_name (the reference builds VMAE
+    # or the SD-VAE here, evaluate_tokenizer.py:57-95)
+    tok = build_tokenizer_fns(
+        config.vae.model_name, config.vae.weight_path, config.data.image_size
     )
-    consts = VMAEConsts(vspec)
-    wp = config.vae.weight_path
-    if wp and os.path.exists(wp):
-        params = torch_import.import_vmae_checkpoint(wp, vspec)
-    else:
-        params = init_vmae_params(jax.random.key(0), vspec)
-        print("WARNING: random tokenizer weights")
+    params = tok.params
 
     lpips_params = load_lpips_params()
 
@@ -72,9 +64,7 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
         # pixels arrive uint8 (4x less host->device traffic); normalization
         # is load_image's exact fp32 arithmetic
         imgs = normalize_uint8_images(imgs_u8)
-        moments = vmae_mod.ldmae_encode_moments(
-            params, vspec, consts, imgs, compute_dtype=jnp.bfloat16
-        )
+        moments = tok.encode_moments(params, imgs, compute_dtype=jnp.bfloat16)
         latents = diagonal_gaussian(moments, axis=1).mode()
         if epsilon > 0:
             if fixed_std is not None:
@@ -82,9 +72,7 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
             else:
                 latent_std = jnp.std(latents, axis=(0, 2, 3), keepdims=True)
             latents = latents + epsilon * jax.random.normal(key, latents.shape) * latent_std
-        decoded = vmae_mod.decode(
-            params, vspec, consts, latents, compute_dtype=jnp.bfloat16
-        )
+        decoded = tok.decode(params, latents, compute_dtype=jnp.bfloat16)
         l = lpips_fn(lpips_params, decoded, imgs).mean()
         s = ssim(decoded, imgs, data_range=(-1.0, 1.0))
         u8 = jnp.clip(127.5 * decoded + 128.0, 0, 255).transpose(0, 2, 3, 1).astype(jnp.uint8)

@@ -45,9 +45,7 @@ def main():
     from ..core.config import LDMAEConfig
     from ..data.images import ImageFolderDataset
     from ..data.latent_dataset import ImgLatentDataset, LatentShardWriter
-    from ..models import vmae as vmae_mod
-    from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec
-    from ..train import torch_import
+    from ..models.tokenizers import build_tokenizer_fns
 
     config = LDMAEConfig.from_yaml(args.config)
     store_moments = config.data.sample
@@ -57,22 +55,12 @@ def main():
     )
     os.makedirs(out_dir, exist_ok=True)
 
-    vspec = vmae_spec(
-        "mae_for_ldmae_f8d16_prev",
-        img_size=config.data.image_size,
-        ldmae_mode=True,
-        no_cls=True,
-        kl_loss_weight=True,
-        smooth_output=True,
+    # tokenizer dispatch on config.vae.model_name (VMAE or SD-VAE in the
+    # reference, extract_features.py:57-99; plus vavae/marvae wrappers)
+    tok = build_tokenizer_fns(
+        config.vae.model_name, config.vae.weight_path, config.data.image_size
     )
-    consts = VMAEConsts(vspec)
-    wp = config.vae.weight_path
-    if wp and os.path.exists(wp):
-        params = torch_import.import_vmae_checkpoint(wp, vspec)
-        print(f"loaded tokenizer weights from {wp}")
-    else:
-        params = init_vmae_params(jax.random.key(0), vspec)
-        print("WARNING: no tokenizer weights found, using random init")
+    params = tok.params
 
     from ..ops.gaussian import diagonal_gaussian
     from ..utils.prefetch import Prefetcher
@@ -89,9 +77,7 @@ def main():
         # normalized here with load_image's exact fp32 arithmetic.
         imgs = normalize_uint8_images(imgs_u8)
         both = jnp.concatenate([imgs, imgs[..., ::-1]], axis=0)
-        moments = vmae_mod.ldmae_encode_moments(
-            params, vspec, consts, both, compute_dtype=jnp.bfloat16
-        )
+        moments = tok.encode_moments(params, both, compute_dtype=jnp.bfloat16)
         out = moments if store_moments else diagonal_gaussian(moments, axis=1).mode()
         half = out.shape[0] // 2
         return out[:half], out[half:]

@@ -76,7 +76,7 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
     (ema) or a torch .pt, and the VMAE tokenizer from vae.weight_path."""
     from ..core.config import LDMAEConfig
     from ..eval.sampling import make_sample_fn
-    from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec
+    from ..models.tokenizers import build_tokenizer_fns
     from ..train.train_dit import build_from_config
     from ..train import torch_import
     from ..data.latent_dataset import ImgLatentDataset
@@ -105,21 +105,11 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
         else:
             params_layout = "interleaved"
 
-    # tokenizer
-    vspec = vmae_spec(
-        "mae_for_ldmae_f8d16_prev",
-        img_size=config.data.image_size,
-        ldmae_mode=True,
-        no_cls=True,
-        kl_loss_weight=True,
-        smooth_output=True,
+    # tokenizer dispatch on config.vae.model_name (inference.py:131-164)
+    tok = build_tokenizer_fns(
+        config.vae.model_name, config.vae.weight_path, config.data.image_size
     )
-    vconsts = VMAEConsts(vspec)
-    wp = config.vae.weight_path
-    if wp and os.path.exists(wp):
-        vparams = torch_import.import_vmae_checkpoint(wp, vspec)
-    else:
-        vparams = init_vmae_params(jax.random.key(7), vspec)
+    vparams = tok.params
 
     # latent stats (inference.py:207-217 — requires the training latents dir)
     latent_mean = latent_std = None
@@ -160,8 +150,10 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
         truncation=s.truncation_bound,
         mode=s.mode,
         latent_multiplier=config.data.latent_multiplier,
-        vae_spec=vspec,
-        vae_consts=vconsts,
+        vae_decode_images_fn=lambda p, z: tok.decode_to_images(
+            p, z, compute_dtype=jnp.bfloat16,
+            attn_impl=config.parallel.attention_impl,
+        ),
         compute_dtype=jnp.bfloat16,
         attn_impl=config.parallel.attention_impl,
         rope_layout="half",

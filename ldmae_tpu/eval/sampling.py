@@ -50,6 +50,7 @@ def make_sample_fn(
     quant_mode: Optional[str] = None,
     mlp_impl: str = "xla",
     cfg_phase_split: bool = True,
+    vae_decode_images_fn: Optional[Callable] = None,
 ) -> Callable[..., jnp.ndarray]:
     """Build sample_fn(bundle, key, y) -> uint8 images (B, H, W, 3) when a
     VAE is configured, else denormalised latents (B, C, h, w).
@@ -97,7 +98,12 @@ def make_sample_fn(
                     sampling_method="euler", t_grid=grid[n1:]
                 )
 
-    def sample_fn(bundle: Dict[str, Any], key: jax.Array, y: jnp.ndarray) -> jnp.ndarray:
+    def sample_fn(
+        bundle: Dict[str, Any], key: jax.Array, y: jnp.ndarray,
+        z: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """``z`` overrides the initial noise (parity tests / exact
+        reproduction of a reference run's latents)."""
         dit_params = bundle["dit"]
 
         def model_fn(x, t, y):
@@ -119,7 +125,9 @@ def make_sample_fn(
         b = y.shape[0]
         h = spec.input_size
         k_z, k_sde = jax.random.split(key)
-        if truncation is not None:
+        if z is not None:
+            z = jnp.asarray(z, jnp.float32).astype(compute_dtype)
+        elif truncation is not None:
             # exact limiting law of the reference's resample-until-in-bounds
             # loop (inference.py:267-273)
             z = jax.random.truncated_normal(
@@ -156,7 +164,14 @@ def make_sample_fn(
             samples = samples * bundle["latent_std"] / latent_multiplier
         if bundle.get("latent_mean") is not None:
             samples = samples + bundle["latent_mean"]
-        if vae_spec is None or bundle.get("vae") is None:
+        if bundle.get("vae") is None:
+            return samples
+        if vae_decode_images_fn is not None:
+            # generic tokenizer decode (models/tokenizers.build_tokenizer_fns)
+            # — the reference dispatches the VAE on config.vae.model_name
+            # (inference.py:131-164)
+            return vae_decode_images_fn(bundle["vae"], samples)
+        if vae_spec is None:
             return samples
         return vmae_mod.decode_to_images(
             bundle["vae"], vae_spec, vae_consts, samples,

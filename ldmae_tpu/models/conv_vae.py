@@ -189,13 +189,21 @@ def decoder_forward(params: Params, spec: ConvVAESpec, z: jnp.ndarray) -> jnp.nd
     return _conv(h, params["conv_out"])
 
 
-def encode(params: Params, spec: ConvVAESpec, x: jnp.ndarray) -> DiagonalGaussian:
-    """AutoencoderKL.encode (autoencoder.py:480-486)."""
+def encode_moments(params: Params, spec: ConvVAESpec, x: jnp.ndarray) -> jnp.ndarray:
+    """Raw posterior moments (2·z_channels), the conv-VAE equivalent of the
+    VMAE docking ``_encode`` (sdvae has no quant convs, so this is exactly
+    the diffusers ``_encode`` used when config ``sample: true``,
+    extract_features.py:148-152)."""
     h = encoder_forward(params["encoder"], spec, x)
     moments = _conv(h, params["quant_conv"], padding=0) if spec.use_quant_conv else h
     if not spec.use_variational:
         moments = jnp.concatenate([moments, jnp.ones_like(moments)], axis=1)
-    return diagonal_gaussian(moments, axis=1)
+    return moments
+
+
+def encode(params: Params, spec: ConvVAESpec, x: jnp.ndarray) -> DiagonalGaussian:
+    """AutoencoderKL.encode (autoencoder.py:480-486)."""
+    return diagonal_gaussian(encode_moments(params, spec, x), axis=1)
 
 
 def decode(params: Params, spec: ConvVAESpec, z: jnp.ndarray) -> jnp.ndarray:

@@ -186,6 +186,124 @@ class SD_VAE(_ConvVAEWrapper):
         return self._encode_mode(jnp.asarray(images))
 
 
+class TokenizerFns:
+    """Functional tokenizer interface for the jitted driver paths.
+
+    The wrapper classes above hold their own jitted closures; the drivers
+    (extract_features / inference / evaluate_tokenizer) instead build one
+    fused XLA program around the tokenizer, so they need plain functions +
+    a params pytree. All fns share the signature
+    ``fn(params, x, compute_dtype=..., attn_impl=...)`` (conv tokenizers
+    ignore the kwargs — they have no attention-impl switch and run fp32).
+
+    - ``encode_moments`` → (B, 2·latent_dim, h, w) raw posterior moments,
+      the reference's ``_encode`` (models_mae.py:836-853 / diffusers
+      ``_encode``); mode/sample via ``ops.gaussian.diagonal_gaussian``.
+    - ``decode`` → (B, 3, H, W) float in [-1, 1].
+    - ``decode_to_images`` → uint8 HWC, clamp(127.5x+128).
+    """
+
+    def __init__(self, name, params, latent_dim, encode_moments, decode,
+                 decode_to_images):
+        self.name = name
+        self.params = params
+        self.latent_dim = latent_dim
+        self.encode_moments = encode_moments
+        self.decode = decode
+        self.decode_to_images = decode_to_images
+
+
+def _load_or_init(weight_path, load_fn, init_fn, what):
+    """Given-but-missing checkpoint paths fail loudly (the reference crashes
+    in torch.load, extract_features.py:62); an empty path means random init
+    (tiny-config tests / dry runs)."""
+    if weight_path:
+        if not os.path.exists(weight_path):
+            raise FileNotFoundError(f"tokenizer checkpoint not found: {weight_path}")
+        return load_fn(weight_path)
+    print(f"WARNING: no {what} tokenizer weights given, using random init")
+    return init_fn()
+
+
+def build_tokenizer_fns(
+    model_name: str, weight_path: str = "", img_size: int = 256
+) -> TokenizerFns:
+    """Driver-level tokenizer dispatch on ``config.vae.model_name``,
+    matching the reference's ``model_name.split('_')[0]`` families
+    (inference.py:131-164, evaluate_tokenizer.py:57-95,
+    extract_features.py:57-99): 'vmae*' → the production VMAE f8d16_prev,
+    {'ae','dae','vae','sdv3'} → the diffusers SD-VAE config, plus the
+    tokenizer/ wrappers 'vavae' and 'marvae'. Unknown names raise."""
+    family = model_name.split("_")[0]
+    if family == "vmae":
+        from . import vmae as vmae_mod
+        from .vmae import VMAEConsts, init_vmae_params, vmae_spec
+        from ..train import torch_import
+
+        # the reference always builds mae_for_ldmae_f8d16_prev for any
+        # vmae* name (inference.py:133)
+        spec = vmae_spec(
+            "mae_for_ldmae_f8d16_prev", img_size=img_size, ldmae_mode=True,
+            no_cls=True, kl_loss_weight=True, smooth_output=True,
+        )
+        consts = VMAEConsts(spec)
+        params = _load_or_init(
+            weight_path,
+            lambda p: torch_import.import_vmae_checkpoint(p, spec),
+            lambda: init_vmae_params(jax.random.key(0), spec),
+            "VMAE",
+        )
+        return TokenizerFns(
+            model_name, params, spec.latent_dim,
+            encode_moments=lambda p, x, compute_dtype=jnp.bfloat16, attn_impl="xla":
+                vmae_mod.ldmae_encode_moments(p, spec, consts, x, compute_dtype, attn_impl),
+            decode=lambda p, z, compute_dtype=jnp.bfloat16, attn_impl="xla":
+                vmae_mod.decode(p, spec, consts, z, compute_dtype, attn_impl),
+            decode_to_images=lambda p, z, compute_dtype=jnp.bfloat16, attn_impl="xla":
+                vmae_mod.decode_to_images(p, spec, consts, z, compute_dtype, attn_impl),
+        )
+
+    from . import conv_vae as cv
+
+    if family in ("ae", "dae", "vae", "sdv3"):
+        from .sdvae_import import load_sdvae
+
+        spec = cv.sdvae_spec()
+        params = _load_or_init(
+            weight_path,
+            lambda p: load_sdvae(p)[0],
+            lambda: cv.init_conv_vae_params(jax.random.key(0), spec),
+            "SD-VAE",
+        )
+    elif family == "vavae":
+        spec = cv.vavae_spec()
+        params = _load_or_init(
+            weight_path,
+            lambda p: cv.load_vavae(p)[0],
+            lambda: cv.init_conv_vae_params(jax.random.key(0), spec),
+            "VA-VAE",
+        )
+    elif family == "marvae":
+        spec = cv.marvae_spec()
+        params = _load_or_init(
+            weight_path,
+            lambda p: cv.load_marvae(p)[0],
+            lambda: cv.init_conv_vae_params(jax.random.key(0), spec),
+            "MAR-VAE",
+        )
+    else:
+        raise ValueError(f"unknown tokenizer {model_name!r}")
+    return TokenizerFns(
+        model_name, params, spec.embed_dim,
+        encode_moments=lambda p, x, compute_dtype=None, attn_impl=None:
+            cv.encode_moments(p, spec, x),
+        decode=lambda p, z, compute_dtype=None, attn_impl=None:
+            cv.decode(p, spec, z),
+        decode_to_images=lambda p, z, compute_dtype=None, attn_impl=None:
+            cv.decode_to_images(p, spec, z),
+    )
+
+
 def build_tokenizer(model_name: str, weight_path: str = "", img_size: int = 256):
     """Tokenizer factory matching the reference's model_name dispatch
     (extract_features.py:56-99): 'vmae*' → VMAE, 'vavae' → VA_VAE,
