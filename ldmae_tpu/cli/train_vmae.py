@@ -147,7 +147,57 @@ def main(args):
             else:
                 params = torch_import.import_vmae_checkpoint(args.resume, spec)
             print(f"resumed weights from torch checkpoint {args.resume}")
-        # Orbax resume handled below via restore_checkpoint
+        elif os.path.isdir(args.resume):
+            # cross-stage warm start from an Orbax checkpoint: either a step
+            # dir / 'checkpoint-{epoch}' alias, or a stage output dir (take
+            # its latest). Loads model weights only — the reference's stage-3
+            # handoff restores the state_dict but NOT optimizer/epoch when
+            # tune_decoder is set (misc.py:501-531, train_ae.sh:106).
+            import orbax.checkpoint as ocp
+
+            from ..train.state import list_checkpoints
+
+            path = os.path.abspath(args.resume)
+            if not os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")):
+                steps = list_checkpoints(path)
+                if not steps:
+                    raise FileNotFoundError(
+                        f"--resume {args.resume}: no Orbax checkpoint found"
+                    )
+                path = os.path.join(path, "checkpoints", f"{steps[-1]:07d}")
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored_tree = ckptr.restore(os.path.realpath(path))
+
+            # strict=False merge like the reference's load_state_dict
+            # (misc.py:522): stage 1 checkpoints carry mask_token which the
+            # ldmae_mode stage-3 model doesn't have, and vice versa
+            missing, unexpected = [], []
+
+            def merge(dst, src, prefix=""):
+                if isinstance(dst, dict):
+                    out = {}
+                    for k, v in dst.items():
+                        if isinstance(src, dict) and k in src:
+                            out[k] = merge(v, src[k], f"{prefix}{k}.")
+                        else:
+                            missing.append(prefix + k)
+                            out[k] = v
+                    if isinstance(src, dict):
+                        unexpected.extend(prefix + k for k in src if k not in dst)
+                    return out
+                arr = jnp.asarray(src)
+                if arr.shape != dst.shape:
+                    missing.append(f"{prefix[:-1]} (shape {arr.shape} != {dst.shape})")
+                    return dst
+                return arr.astype(dst.dtype)
+
+            params = merge(params, restored_tree["params"])
+            print(
+                f"resumed weights from Orbax checkpoint {path} "
+                f"(missing={missing}, unexpected={unexpected})"
+            )
+        else:
+            raise FileNotFoundError(f"--resume {args.resume}: not found")
 
     # n_dev = jax.device_count() is already GLOBAL across processes — don't
     # multiply by process_count again (reference: batch * accum * world_size,
@@ -258,7 +308,15 @@ def main(args):
 
         if (epoch + 1) % args.save_epochs == 0 or epoch + 1 == args.epochs:
             path = save_checkpoint(args.output_dir, state, config=vars(args))
-            print(f"saved checkpoint {path}")
+            # epoch alias mirroring the reference's checkpoint-{epoch}.pth
+            # naming (misc.py:468-485) — train_ae.sh hands checkpoint-90 to
+            # stage 3 by this name
+            alias = os.path.join(os.path.dirname(path), f"checkpoint-{epoch}")
+            if os.path.islink(alias):
+                os.unlink(alias)
+            if not os.path.exists(alias):
+                os.symlink(os.path.basename(path), alias)
+            print(f"saved checkpoint {path} (checkpoint-{epoch})")
 
 
 if __name__ == "__main__":
