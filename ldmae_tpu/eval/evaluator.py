@@ -27,6 +27,54 @@ import numpy as np
 from .fid import calculate_frechet_distance
 
 
+def _npz_has_members(path: str, names) -> bool:
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        have = set(zf.namelist())
+    return all(f"{n}.npy" in have for n in names)
+
+
+def iter_npz_batches(path: str, name: str, batch: int, limit: int = 0):
+    """Stream an npz member row-batch by row-batch without materialising the
+    whole array (the ADM evaluator's open_npz_array streaming reader,
+    /root/reference/LDMAE/tools/evaluator.py:448-585). Works for both stored
+    and deflated members — zipfile decompresses incrementally."""
+    import zipfile
+
+    from numpy.lib import format as npf
+
+    with zipfile.ZipFile(path) as zf:
+        with zf.open(f"{name}.npy") as f:
+            version = npf.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, dtype = npf.read_array_header_1_0(f)
+            else:
+                shape, fortran, dtype = npf.read_array_header_2_0(f)
+            if fortran:
+                raise ValueError(f"{path}:{name} is Fortran-ordered")
+            n = shape[0] if not limit else min(limit, shape[0])
+            row_bytes = int(np.prod(shape[1:])) * dtype.itemsize
+            for s in range(0, n, batch):
+                m = min(batch, n - s)
+                buf = f.read(m * row_bytes)
+                yield np.frombuffer(buf, dtype=dtype).reshape((m,) + shape[1:])
+
+
+def _append_npz_arrays(path: str, arrays: Dict[str, np.ndarray]) -> None:
+    """Append arrays as new members of an existing npz (zip) — caching
+    activations back (evaluator.py:46-67) without rewriting the ~10 GB
+    arr_0 member."""
+    import zipfile
+
+    from numpy.lib import format as npf
+
+    with zipfile.ZipFile(path, "a") as zf:
+        for k, v in arrays.items():
+            with zf.open(f"{k}.npy", "w") as f:
+                npf.write_array(f, np.asarray(v))
+
+
 @dataclass
 class FIDStatistics:
     mu: np.ndarray
@@ -289,18 +337,29 @@ class Evaluator:
         self.manifold_estimator = ManifoldEstimator()
 
     # -- activations -------------------------------------------------------
-    def compute_activations(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """images: (N, H, W, 3) uint8 or float[0,1] → (pooled, spatial)."""
+    def _activations_from_batches(self, batches) -> Tuple[np.ndarray, np.ndarray]:
+        """Stream image batches through Inception; host memory stays
+        O(batch) + O(N·feature_dim) for the results (the reference's
+        evaluator streams the same way, evaluator.py:139-177)."""
         import jax.numpy as jnp
 
-        if images.dtype == np.uint8:
-            images = images.astype(np.float32) / 255.0
         pooled, spatial = [], []
-        for s in range(0, len(images), self.batch_size):
-            p, sp = self._fwd(jnp.asarray(images[s : s + self.batch_size]))
+        for b in batches:
+            if b.dtype == np.uint8:
+                b = b.astype(np.float32) / 255.0
+            p, sp = self._fwd(jnp.asarray(b))
             pooled.append(np.asarray(p))
             spatial.append(np.asarray(sp))
         return np.concatenate(pooled), np.concatenate(spatial)
+
+    def compute_activations(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """images: (N, H, W, 3) uint8 or float[0,1] → (pooled, spatial).
+        uint8 input is converted per batch slice — a one-shot fp32 copy of a
+        50k×256² batch would need ~39 GB of host RAM."""
+        return self._activations_from_batches(
+            images[s : s + self.batch_size]
+            for s in range(0, len(images), self.batch_size)
+        )
 
     def read_activations(
         self, npz_or_dir: str, limit: int = 0
@@ -309,20 +368,27 @@ class Evaluator:
         stream it through Inception. Computed activations are cached back
         into the npz under arr_1/arr_2 and reused (evaluator.py:46-67).
 
+        Images are never fully materialised on host: npz members are
+        streamed straight out of the zip (the reference's open_npz_array
+        mmap reader, evaluator.py:448-585) and folders are decoded per
+        batch (like fid.get_activations_from_files).
+
         ``limit`` bounds the images read AND computed (not just the result):
         at 50k-image scale a post-hoc slice would waste ~limit/50k of the
-        Inception work and the whole decode/stack memory."""
+        Inception work."""
         if npz_or_dir.endswith(".npz"):
-            with np.load(npz_or_dir) as f:
-                if "arr_1" in f.files and "arr_2" in f.files:
+            if _npz_has_members(npz_or_dir, ("arr_1", "arr_2")):
+                with np.load(npz_or_dir) as f:
                     a1, a2 = f["arr_1"][:], f["arr_2"][:]
-                    return (a1[:limit], a2[:limit]) if limit else (a1, a2)
-                arrays = {k: f[k][:] for k in f.files}
-            imgs = arrays["arr_0"][:limit] if limit else arrays["arr_0"]
-            acts = self.compute_activations(imgs)
+                return (a1[:limit], a2[:limit]) if limit else (a1, a2)
+            acts = self._activations_from_batches(
+                iter_npz_batches(npz_or_dir, "arr_0", self.batch_size, limit)
+            )
             if not limit:  # don't cache partial activations
                 try:
-                    np.savez(npz_or_dir, **arrays, arr_1=acts[0], arr_2=acts[1])
+                    _append_npz_arrays(
+                        npz_or_dir, {"arr_1": acts[0], "arr_2": acts[1]}
+                    )
                 except OSError:
                     pass  # read-only location; skip caching
             return acts
@@ -333,10 +399,14 @@ class Evaluator:
             files = files[:limit]
         from PIL import Image
 
-        imgs = np.stack(
-            [np.asarray(Image.open(f).convert("RGB")) for f in files]
-        )
-        return self.compute_activations(imgs)
+        def folder_batches():
+            for s in range(0, len(files), self.batch_size):
+                yield np.stack([
+                    np.asarray(Image.open(f).convert("RGB"))
+                    for f in files[s : s + self.batch_size]
+                ])
+
+        return self._activations_from_batches(folder_batches())
 
     def read_statistics(
         self, npz_path: str, activations: Tuple[np.ndarray, np.ndarray]
