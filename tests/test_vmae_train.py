@@ -221,3 +221,67 @@ class TestRemat:
             ),
             g1, g2,
         )
+
+
+class TestShardedVMAETrain:
+    """The reference trains the VMAE on 8 GPUs via DDP (train_ae.sh:26,
+    misc.py:367-402); our equivalent is the dp mesh cli.train_vmae builds.
+    Sharded execution must match single-device numerics exactly."""
+
+    def test_dp8_matches_unsharded(self):
+        from ldmae_tpu.parallel import create_mesh, shard_batch, shard_params
+
+        consts = VMAEConsts(SPEC)
+        params = init_vmae_params(jax.random.key(0), SPEC)
+        tx = make_vmae_optimizer(
+            params, steps_per_epoch=5, base_lr=1e-3, warmup_epochs=0,
+            total_epochs=10,
+        )
+        step = jax.jit(make_vmae_train_step(SPEC, consts, tx, mask_ratio=0.25))
+        x = jax.random.normal(jax.random.key(1), (16, 3, 16, 16)) * 0.5
+        rng = jax.random.key(7)
+        s_single, m_single = step(init_train_state(params, tx), {"x": x}, rng)
+
+        mesh = create_mesh(dp=8, fsdp=1, tp=1)
+        params_sh = shard_params(mesh, params)
+        batch_sh = shard_batch(mesh, {"x": x})
+        s_mesh, m_mesh = step(init_train_state(params_sh, tx), batch_sh, rng)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_mesh["loss"]), rtol=1e-4
+        )
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            s_single.params, jax.device_get(s_mesh.params),
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) < 1e-4
+
+    def test_dp8_stage3_tune_decoder(self):
+        """Stage-3 decoder finetune (frozen encoder) on the 8-device mesh."""
+        from dataclasses import replace
+
+        from ldmae_tpu.parallel import create_mesh, shard_batch, shard_params
+
+        spec = replace(SPEC, ldmae_mode=True)
+        consts = VMAEConsts(spec)
+        params = init_vmae_params(jax.random.key(0), spec)
+        tx = make_vmae_optimizer(
+            params, steps_per_epoch=5, base_lr=1e-2, tune_decoder=True,
+            total_epochs=10, warmup_epochs=0,
+        )
+        step = jax.jit(
+            make_vmae_train_step(spec, consts, tx, tune_decoder=True)
+        )
+        mesh = create_mesh(dp=8, fsdp=1, tp=1)
+        params_sh = shard_params(mesh, params)
+        x = jax.random.normal(jax.random.key(1), (8, 3, 16, 16))
+        batch = shard_batch(mesh, {"x": x})
+        state, metrics = step(init_train_state(params_sh, tx), batch, jax.random.key(2))
+        assert bool(metrics["loss_finite"])
+        np.testing.assert_allclose(
+            np.asarray(state.params["patch_embed"]["w"]),
+            np.asarray(params["patch_embed"]["w"]),
+        )
+        assert not np.allclose(
+            np.asarray(state.params["decoder_embed"]["w"]),
+            np.asarray(params["decoder_embed"]["w"]),
+        )
