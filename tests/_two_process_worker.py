@@ -76,10 +76,47 @@ def main() -> None:
     disjoint = bool((everyone.sum(0) <= 1).all())
     complete = bool((everyone.sum(0) >= 1).all())
 
+    # --- shard_batch + DiT train step across the process boundary ----------
+    # Pins the make_array_from_process_local_data fix (parallel/mesh.py:62-72):
+    # each process passes ONLY ITS ROWS; a plain device_put under the global
+    # sharding would silently drop half of every batch, which shows up here
+    # as a loss different from the single-process run on the same global
+    # batch (the parent test computes that reference value).
+    from ldmae_tpu.models.lightningdit import DiTConsts, DiTSpec, init_dit_params
+    from ldmae_tpu.parallel import create_mesh, shard_batch
+    from ldmae_tpu.train.state import init_train_state
+    from ldmae_tpu.train.train_dit import make_optimizer, make_train_step
+    from ldmae_tpu.transport import create_transport
+
+    spec = DiTSpec(
+        input_size=4, patch_size=1, in_channels=4, hidden_size=32, depth=2,
+        num_heads=4, num_classes=8, use_swiglu=True, use_rmsnorm=True,
+    )
+    consts = DiTConsts(spec)
+    dmesh = create_mesh(dp=4)  # 4 global devices over 2 processes
+    tx = make_optimizer(1e-3, 0.95, max_grad_norm=1.0)
+    rep = NamedSharding(dmesh, P())
+    state = jax.jit(
+        lambda: init_train_state(init_dit_params(jax.random.key(0), spec), tx),
+        out_shardings=rep,
+    )()
+    transport = create_transport("Linear", "velocity", use_lognorm=False)
+    step = make_train_step(
+        spec, consts, transport, tx, grad_accum=1, compute_dtype=jnp.float32
+    )
+    grng = np.random.default_rng(123)  # same global batch as the parent
+    gx = grng.standard_normal((1, 8, 4, 4, 4)).astype(np.float32)
+    gy = grng.integers(0, 8, (1, 8)).astype(np.int32)
+    lo, hi = rank * 4, (rank + 1) * 4  # this process's rows
+    batch = shard_batch(dmesh, {"x": gx[:, lo:hi], "y": gy[:, lo:hi]}, axis=1)
+    state, metrics = jax.jit(step)(state, batch, jax.random.key(5))
+    loss = float(np.asarray(metrics["loss"].addressable_data(0)))
+
     barrier("end-of-test")
     print(
         f"RESULT rank={rank} main={is_main_process()} sum={total} "
-        f"n_local={len(labels)} disjoint={disjoint} complete={complete}",
+        f"n_local={len(labels)} disjoint={disjoint} complete={complete} "
+        f"dit_loss={loss:.6f}",
         flush=True,
     )
 

@@ -94,6 +94,47 @@ def test_two_process_rendezvous_psum_and_sharding(latent_dir):
     # 16 rows split across 2 processes
     assert int(results["0"]["n_local"]) + int(results["1"]["n_local"]) == 16
 
+    # shard_batch regression (parallel/mesh.py:62-72): the 2-process DiT step
+    # on per-process HALVES of a global batch must reproduce the single-
+    # process loss on the whole batch — a plain device_put would have each
+    # process contribute global-index rows of its local half (half the data
+    # twice), shifting the loss.
+    assert results["0"]["dit_loss"] == results["1"]["dit_loss"]
+    ref = _single_process_dit_loss()
+    assert abs(float(results["0"]["dit_loss"]) - ref) < 5e-4, (
+        results["0"]["dit_loss"], ref,
+    )
+
+
+def _single_process_dit_loss() -> float:
+    """The same tiny DiT step the worker runs, unsharded in this process."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldmae_tpu.models.lightningdit import DiTConsts, DiTSpec, init_dit_params
+    from ldmae_tpu.train.state import init_train_state
+    from ldmae_tpu.train.train_dit import make_optimizer, make_train_step
+    from ldmae_tpu.transport import create_transport
+
+    spec = DiTSpec(
+        input_size=4, patch_size=1, in_channels=4, hidden_size=32, depth=2,
+        num_heads=4, num_classes=8, use_swiglu=True, use_rmsnorm=True,
+    )
+    consts = DiTConsts(spec)
+    tx = make_optimizer(1e-3, 0.95, max_grad_norm=1.0)
+    state = init_train_state(init_dit_params(jax.random.key(0), spec), tx)
+    transport = create_transport("Linear", "velocity", use_lognorm=False)
+    step = make_train_step(
+        spec, consts, transport, tx, grad_accum=1, compute_dtype=jnp.float32
+    )
+    grng = np.random.default_rng(123)
+    batch = {
+        "x": jnp.asarray(grng.standard_normal((1, 8, 4, 4, 4)).astype(np.float32)),
+        "y": jnp.asarray(grng.integers(0, 8, (1, 8)).astype(np.int32)),
+    }
+    _, metrics = jax.jit(step)(state, batch, jax.random.key(5))
+    return float(metrics["loss"])
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
