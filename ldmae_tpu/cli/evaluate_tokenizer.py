@@ -79,8 +79,26 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
         return u8, l, s
 
     ds = ImageFolderDataset(data_path, config.data.image_size)
-    n_total = len(ds) if limit is None else min(limit, len(ds))
-    print(f"evaluating tokenizer on {n_total} images (epsilon={epsilon})")
+    rank, world = jax.process_index(), jax.process_count()
+    n_global = len(ds) if limit is None else min(limit, len(ds))
+    # interleaved shard of the GLOBAL budget (the reference's sequential
+    # DistributedSampler, evaluate_tokenizer.py:47,107-114)
+    n_total = n_global // world + (1 if rank < n_global % world else 0)
+    print(f"evaluating tokenizer on {n_global} images "
+          f"({n_total} on rank {rank}, epsilon={epsilon})")
+
+    # local multi-chip: shard the batch over a dp mesh; XLA propagates the
+    # sharding through the whole roundtrip (same trick as cli.inference)
+    batch_sharding = None
+    if jax.local_device_count() > 1 and batch % jax.local_device_count() == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import create_mesh
+
+        mesh = create_mesh(dp=-1)
+        batch_sharding = NamedSharding(
+            mesh, P(("dp", "fsdp"), None, None, None)
+        )
 
     lpips_vals, ssim_vals, psnr_vals = [], [], []
     idx = 0
@@ -96,16 +114,23 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
         # raw uint8 array doubles as the reference PNG pixels (writing the
         # normalized floats back to uint8 reproduces them bit-exactly:
         # 127.5·((p/255−.5)/.5)+128 = p+0.5 → p after clip+floor)
-        for imgs_u8, labels, _ in ds.iter_batches(batch, raw_uint8=True):
-            yield jnp.asarray(imgs_u8), imgs_u8, labels
+        for imgs_u8, labels, _ in ds.iter_batches(
+            batch, raw_uint8=True, process_index=rank, process_count=world,
+        ):
+            dev = jnp.asarray(imgs_u8)
+            if batch_sharding is not None and len(imgs_u8) == batch:
+                dev = jax.device_put(dev, batch_sharding)
+            yield dev, imgs_u8, labels
 
-    key = jax.random.key(seed)
+    key = jax.random.key(seed + rank)
     for imgs_dev, ref_u8, labels in Prefetcher(device_batches(), buffer_size=4):
         if idx >= n_total:
             break
+        take = min(len(ref_u8), n_total - idx)
         key, sub = jax.random.split(key)
         u8, l, s = roundtrip(imgs_dev, sub)
-        u8 = np.asarray(u8)
+        u8 = np.asarray(u8)[:take]
+        ref_u8 = ref_u8[:take]
         lpips_vals.append(float(l))
         ssim_vals.append(float(s))
         # PSNR per image from the exact uint8 arrays being written — PNG is
@@ -115,19 +140,39 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
 
         psnr_vals.extend(psnr_batch_np(ref_u8, u8).tolist())
         for i in range(len(u8)):
-            pool.submit(save_png, ref_u8[i], os.path.join(ref_path, f"ref_{idx + i:06d}.png"))
-            pool.submit(save_png, u8[i], os.path.join(save_dir, f"decoded_image_{idx + i:06d}.png"))
+            pool.submit(save_png, ref_u8[i], os.path.join(
+                ref_path, f"ref_image_rank_{rank}_{idx + i}.png"))
+            pool.submit(save_png, u8[i], os.path.join(
+                save_dir, f"decoded_image_rank_{rank}_{idx + i}.png"))
         idx += len(u8)
     pool.shutdown(wait=True)
 
-    # rFID on the folders (evaluate_tokenizer.py:194-209)
+    # cross-process metric reduction (the reference's all_reduce AVG,
+    # evaluate_tokenizer.py:186-189: mean of per-batch means for
+    # LPIPS/SSIM, per-image mean for PSNR) + barrier before rank-0 rFID
+    sums = np.array([
+        np.sum(lpips_vals), len(lpips_vals),
+        np.sum(ssim_vals), len(ssim_vals),
+        np.sum(psnr_vals), len(psnr_vals),
+    ], np.float64)
+    if world > 1:
+        from jax.experimental import multihost_utils
+
+        sums = np.asarray(multihost_utils.process_allgather(sums)).sum(axis=0)
+        from ..parallel.distributed import barrier
+
+        barrier(f"evaluate_tokenizer_pngs_{epsilon}")
+    if rank != 0:
+        return None
+
+    # rFID on the folders (evaluate_tokenizer.py:194-209), rank 0 only
     fid = calculate_fid_given_paths([ref_path, save_dir])
 
     report = {
         "rfid": fid,
-        "psnr": float(np.mean(psnr_vals)),
-        "lpips": float(np.mean(lpips_vals)),
-        "ssim": float(np.mean(ssim_vals)),
+        "psnr": float(sums[4] / sums[5]),
+        "lpips": float(sums[0] / sums[1]),
+        "ssim": float(sums[2] / sums[3]),
         "epsilon": epsilon,
     }
     print("Final Metrics:")
@@ -155,6 +200,12 @@ def main():
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    # multi-process rendezvous (env:// RANK/WORLD_SIZE, SLURM, or TPU pod);
+    # the reference tokenizer eval is DDP (evaluate_tokenizer.py:47)
+    from ..parallel import init_distributed_mode
+
+    init_distributed_mode()
 
     from ..core.config import LDMAEConfig
 

@@ -217,3 +217,61 @@ def test_two_process_extraction_driver(image_cfg):
             total += f.get_slice("labels").get_shape()[0]
     assert total == 10  # global --limit, not per-rank
     assert os.path.exists(os.path.join(out_dir, "latents_stats.pt"))
+
+
+@pytest.mark.timeout(600)
+def test_two_process_evaluate_tokenizer(image_cfg, tmp_path_factory):
+    """2-process tokenizer eval (the reference is DDP with metric
+    all-reduce, evaluate_tokenizer.py:47,186-189): interleaved batches per
+    rank, cross-process metric averaging, rank-0-only rFID report, and the
+    pre-rFID barrier."""
+    cfg, _ = image_cfg
+    out = str(tmp_path_factory.mktemp("mp_rfid"))
+    import yaml
+
+    data_path = yaml.safe_load(open(cfg))["data"]["origin_path"]
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            RANK=str(rank),
+            WORLD_SIZE="2",
+            MASTER_ADDR="127.0.0.1",
+            MASTER_PORT=str(port),
+            PYTHONPATH=REPO,
+            LDMAE_PLATFORM="cpu",
+            JAX_PLATFORMS="cpu",
+        )
+        env["XLA_FLAGS"] = ""
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "ldmae_tpu.cli.evaluate_tokenizer",
+                 "--config", cfg, "--data_path", data_path,
+                 "--output_path", out, "--batch", "2", "--limit", "10",
+                 "--epsilon", "0.0"],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = []
+    for rank, p in enumerate(procs):
+        try:
+            o, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-4000:]}\n{o[-2000:]}"
+        outs.append(o)
+
+    # rank 0 reports, rank 1 does not
+    assert "Final Metrics" in outs[0] and "rfid" in outs[0]
+    assert "Final Metrics" not in outs[1]
+    # each rank wrote its interleaved half of the global 10-image budget
+    ref_dir = os.path.join(out, "reference")
+    dec_dir = os.path.join(out, "vmae_f8d16_0.0")
+    r0 = [f for f in os.listdir(ref_dir) if "_rank_0_" in f]
+    r1 = [f for f in os.listdir(ref_dir) if "_rank_1_" in f]
+    assert len(r0) == 5 and len(r1) == 5, (len(r0), len(r1))
+    assert len(os.listdir(dec_dir)) == 10
