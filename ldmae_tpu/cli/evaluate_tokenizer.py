@@ -122,7 +122,10 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
                 dev = jax.device_put(dev, batch_sharding)
             yield dev, imgs_u8, labels
 
+    import time
+
     key = jax.random.key(seed + rank)
+    t0 = time.time()
     for imgs_dev, ref_u8, labels in Prefetcher(device_batches(), buffer_size=4):
         if idx >= n_total:
             break
@@ -145,7 +148,12 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
             pool.submit(save_png, u8[i], os.path.join(
                 save_dir, f"decoded_image_rank_{rank}_{idx + i}.png"))
         idx += len(u8)
+        if idx % (batch * 10) < batch:
+            print(f"[rank {rank}] {idx}/{n_total} "
+                  f"({idx / (time.time() - t0):.1f} img/s)")
     pool.shutdown(wait=True)
+    print(f"[rank {rank}] roundtrip done: {idx} images, "
+          f"{idx / max(time.time() - t0, 1e-9):.1f} img/s")
 
     # cross-process metric reduction (the reference's all_reduce AVG,
     # evaluate_tokenizer.py:186-189: mean of per-batch means for

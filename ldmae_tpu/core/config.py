@@ -151,6 +151,9 @@ class ParallelConfig:
     # 100.7 vs 58 img/s/chip for B/1 at b=32 — the fp32 (B,H,N,N) HBM tensor
     # never exists and q/k skip the rope round-trips)
     train_attention_impl: str = "flash_rope"
+    # training adaLN epilogue: 'xla' or 'fused' (Pallas fwd + custom-VJP
+    # fp32 backward; gradient-parity-tested)
+    train_adaln_impl: str = "xla"
     rope_layout: str = "interleaved"  # 'half' = fast permuted q/k layout
     adaln_impl: str = "fused"  # sampling: Pallas norm+modulate epilogue
     mlp_impl: str = "fused"  # sampling: silu gate fused into the w12 matmul

@@ -216,21 +216,17 @@ def fused_matmul_silu(x: jnp.ndarray, w12: jnp.ndarray, b12) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "eps"))
-def fused_norm_modulate(
+def _fused_norm_modulate_kernel_call(
     x: jnp.ndarray,
-    weight: jnp.ndarray | None,
+    weight: jnp.ndarray,
     shift: jnp.ndarray,
     scale: jnp.ndarray,
     *,
     kind: str = "rms",
     eps: float = 1e-6,
 ) -> jnp.ndarray:
-    """x: (B, N, D); weight: (D,) RMSNorm scale (ignored for kind='layer');
-    shift/scale: (B, D). Returns modulate(norm(x), shift, scale)."""
     b, n, d = x.shape
     bn = _pick_block_n(n)
-    if weight is None:
-        weight = jnp.ones((d,), jnp.float32)
     w2 = weight.reshape(1, d).astype(jnp.float32)
     grid = (b, n // bn)
     return pl.pallas_call(
@@ -248,3 +244,71 @@ def fused_norm_modulate(
         out_specs=pl.BlockSpec((1, bn, d), lambda i, j: (i, j, 0)),
         interpret=_interpret(),
     )(x, w2, shift.astype(jnp.float32), scale.astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _fnm_custom_vjp(kind: str, eps: float):
+    """custom_vjp over the Pallas forward: the backward is hand-written
+    fp32 XLA math (exactly what autodiff of the unfused lowering produces,
+    fused freely by XLA), so the training step can run the fused forward —
+    including the remat recompute of it — without Pallas autodiff support."""
+
+    @jax.custom_vjp
+    def f(x, w, shift, scale):
+        return _fused_norm_modulate_kernel_call(x, w, shift, scale, kind=kind, eps=eps)
+
+    def fwd(x, w, shift, scale):
+        return f(x, w, shift, scale), (x, w, shift, scale)
+
+    def bwd(res, g):
+        x, w, shift, scale = res
+        xf = x.astype(jnp.float32)
+        gf = g.astype(jnp.float32)
+        one_plus = (1.0 + scale.astype(jnp.float32))[:, None, :]
+        if kind == "layer":
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            xc = xf - mu
+            r = jax.lax.rsqrt(jnp.mean(xc * xc, axis=-1, keepdims=True) + eps)
+            xhat = xc * r
+            dxh = gf * one_plus
+            dx = r * (
+                dxh
+                - jnp.mean(dxh, axis=-1, keepdims=True)
+                - xhat * jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+            )
+            dw = jnp.zeros_like(w)
+        else:
+            r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+            u = xf * r  # normalized, pre-weight
+            wf = w.astype(jnp.float32)
+            xhat = u * wf
+            dxh = gf * one_plus
+            dw = jnp.sum(dxh * u, axis=(0, 1)).astype(w.dtype)
+            du = dxh * wf
+            dx = r * (u * (-jnp.mean(du * u, axis=-1, keepdims=True)) + du)
+        dshift = jnp.sum(gf, axis=1).astype(shift.dtype)
+        dscale = jnp.sum(gf * xhat, axis=1).astype(scale.dtype)
+        return dx.astype(x.dtype), dw, dshift, dscale
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_norm_modulate(
+    x: jnp.ndarray,
+    weight: jnp.ndarray | None,
+    shift: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    kind: str = "rms",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """x: (B, N, D); weight: (D,) RMSNorm scale (ignored for kind='layer');
+    shift/scale: (B, D). Returns modulate(norm(x), shift, scale).
+
+    Differentiable: the forward is the Pallas kernel, the backward a
+    custom-VJP fp32 XLA lowering (gradient-parity-tested against the
+    unfused path), so ``adaln_impl='fused'`` works in training too."""
+    if weight is None:
+        weight = jnp.ones((x.shape[-1],), jnp.float32)
+    return _fnm_custom_vjp(kind, eps)(x, weight, shift, scale)

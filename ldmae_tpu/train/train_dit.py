@@ -49,6 +49,7 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "xla",
     rope_layout: str = "interleaved",
+    adaln_impl: str = "xla",
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """Build the train step.
 
@@ -72,6 +73,7 @@ def make_train_step(
                 compute_dtype=compute_dtype,
                 attn_impl=attn_impl,
                 rope_layout=rope_layout,
+                adaln_impl=adaln_impl,
             )
 
         terms = transport.training_losses(model_fn, k_transport, x, dict(y=y))
@@ -182,6 +184,7 @@ def build_from_config(config: LDMAEConfig, key: jax.Array):
         compute_dtype=compute_dtype,
         attn_impl=config.parallel.train_attention_impl,
         rope_layout=config.parallel.rope_layout,
+        adaln_impl=getattr(config.parallel, "train_adaln_impl", "xla"),
     )
     return spec, consts, params, transport, tx, step_fn
 

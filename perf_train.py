@@ -10,11 +10,12 @@ from ldmae_tpu.train.train_dit import make_optimizer, make_train_step
 from ldmae_tpu.transport import create_transport
 from ldmae_tpu.utils.profiling import dit_forward_flops
 
-def run(batch, attn, rope_layout="interleaved", remat="full"):
+def run(batch, attn, rope_layout="interleaved", remat="full", use_checkpoint=True,
+        adaln="xla"):
     spec = dit_spec("LightningDiT-B/1", input_size=32, in_channels=16,
                     num_classes=1000, use_qknorm=True, use_swiglu=True,
-                    use_rope=True, use_rmsnorm=True, use_checkpoint=True,
-                    remat_policy=remat)
+                    use_rope=True, use_rmsnorm=True,
+                    use_checkpoint=use_checkpoint, remat_policy=remat)
     consts = DiTConsts(spec)
     params = init_dit_params(jax.random.key(0), spec)
     transport = create_transport("Linear", "velocity", use_lognorm=True)
@@ -25,7 +26,7 @@ def run(batch, attn, rope_layout="interleaved", remat="full"):
         params = permute_qk_for_half_rope(params, spec)
     step = jax.jit(make_train_step(spec, consts, transport, tx,
                                    compute_dtype=jnp.bfloat16, attn_impl=attn,
-                                   rope_layout=rope_layout),
+                                   rope_layout=rope_layout, adaln_impl=adaln),
                    donate_argnums=(0,))
     state = init_train_state(params, tx)
     batch_d = {"x": jax.random.normal(jax.random.key(1), (batch, 16, 32, 32)),
@@ -39,7 +40,8 @@ def run(batch, attn, rope_layout="interleaved", remat="full"):
     jax.block_until_ready(m["loss"])
     dt = (time.time() - t0) / iters
     flops = 3 * dit_forward_flops(spec, batch)  # fwd + ~2x bwd
-    print(f"train step b={batch} attn={attn} rope={rope_layout} remat={remat}: "
+    print(f"train step b={batch} attn={attn} rope={rope_layout} remat={remat} "
+          f"ckpt={use_checkpoint} adaln={adaln}: "
           f"{dt*1000:.1f} ms, {batch/dt:.1f} img/s, "
           f"~{flops/dt/1e12:.0f} TF/s ({flops/dt/197e12*100:.0f}% MFU)",
           flush=True)
@@ -49,6 +51,18 @@ if __name__ == "__main__":
 
     if len(sys.argv) > 1 and sys.argv[1] == "half":
         run(32, "flash", rope_layout="half")
+    elif len(sys.argv) > 1 and sys.argv[1] == "noremat":
+        # no rematerialisation at all: every recomputed FLOP becomes useful
+        # work, if the activations fit (b=32 needs 25.8 GB; scale down)
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        try:
+            run(batch, "flash_rope", rope_layout="half", use_checkpoint=False)
+        except Exception as e:
+            print(f"noremat b={batch}: {type(e).__name__}: {str(e)[:200]}")
+    elif len(sys.argv) > 1 and sys.argv[1] == "adaln":
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+        for impl in ("xla", "fused"):
+            run(batch, "flash_rope", rope_layout="half", adaln=impl)
     elif len(sys.argv) > 1 and sys.argv[1] == "remat":
         # remat-policy sweep at the production config (flash_rope + half)
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32

@@ -458,3 +458,97 @@ class TestFusedMatmulSilu:
         b = dit_forward(params, spec, consts, x, t, y, train=False,
                         compute_dtype=jnp.float32, mlp_impl="fused")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+class TestFusedAdaLNGrad:
+    """custom-VJP backward of the fused adaLN vs autodiff of the unfused
+    lowering — enables adaln_impl='fused' in training."""
+
+    def _grads(self, fn, args):
+        def loss(*a):
+            out = fn(*a)
+            # non-uniform cotangent so every grad path is exercised
+            w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+            return jnp.sum(out.astype(jnp.float32) * jnp.sin(w))
+
+        return jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+
+    def test_rms_grads_match_unfused(self):
+        from ldmae_tpu.ops.fused_adaln import fused_norm_modulate
+        from ldmae_tpu.ops.linear import modulate
+        from ldmae_tpu.ops.norms import rms_norm
+
+        x = jax.random.normal(jax.random.key(0), (2, 64, 32), jnp.float32)
+        w = jax.random.normal(jax.random.key(1), (32,), jnp.float32) * 0.3 + 1
+        shift = jax.random.normal(jax.random.key(2), (2, 32), jnp.float32)
+        scale = jax.random.normal(jax.random.key(3), (2, 32), jnp.float32)
+        ref = self._grads(
+            lambda x, w, sh, sc: modulate(rms_norm(x, w), sh, sc),
+            (x, w, shift, scale),
+        )
+        got = self._grads(
+            lambda x, w, sh, sc: fused_norm_modulate(x, w, sh, sc, kind="rms"),
+            (x, w, shift, scale),
+        )
+        for r, g, name in zip(ref, got, ("dx", "dw", "dshift", "dscale")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-4, err_msg=name
+            )
+
+    def test_layer_grads_match_unfused(self):
+        from ldmae_tpu.ops.fused_adaln import fused_norm_modulate
+        from ldmae_tpu.ops.linear import modulate
+        from ldmae_tpu.ops.norms import layer_norm
+
+        x = jax.random.normal(jax.random.key(0), (2, 64, 32), jnp.float32)
+        shift = jax.random.normal(jax.random.key(2), (2, 32), jnp.float32)
+        scale = jax.random.normal(jax.random.key(3), (2, 32), jnp.float32)
+        ref = self._grads(
+            lambda x, sh, sc: modulate(layer_norm(x, eps=1e-6), sh, sc),
+            (x, shift, scale),
+        )
+        got = self._grads(
+            lambda x, sh, sc: fused_norm_modulate(x, None, sh, sc, kind="layer"),
+            (x, shift, scale),
+        )
+        for r, g, name in zip(ref, got, ("dx", "dshift", "dscale")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-4, err_msg=name
+            )
+
+    def test_train_step_fused_adaln_matches_xla(self):
+        """Whole train step (remat included): loss and updated params match
+        between adaln_impl='fused' and 'xla'."""
+        from ldmae_tpu.models.lightningdit import DiTConsts, dit_spec, init_dit_params
+        from ldmae_tpu.train.state import init_train_state
+        from ldmae_tpu.train.train_dit import make_optimizer, make_train_step
+        from ldmae_tpu.transport import create_transport
+
+        spec = dit_spec(
+            "LightningDiT-debug", input_size=8, in_channels=4, num_classes=8,
+            use_qknorm=True, use_swiglu=True, use_rope=True, use_rmsnorm=True,
+            use_checkpoint=True,
+        )
+        consts = DiTConsts(spec)
+        params = init_dit_params(jax.random.key(0), spec)
+        transport = create_transport("Linear", "velocity", use_lognorm=False)
+        tx = make_optimizer(1e-3, 0.95)
+        batch = {
+            "x": jax.random.normal(jax.random.key(1), (8, 4, 8, 8)),
+            "y": jnp.arange(8, dtype=jnp.int32) % 8,
+        }
+        outs = {}
+        for impl in ("xla", "fused"):
+            step = jax.jit(make_train_step(
+                spec, consts, transport, tx, compute_dtype=jnp.float32,
+                adaln_impl=impl,
+            ))
+            state, m = step(init_train_state(params, tx), batch, jax.random.key(2))
+            outs[impl] = (float(m["loss"]), state.params)
+        np.testing.assert_allclose(outs["xla"][0], outs["fused"][0], rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            outs["xla"][1], outs["fused"][1],
+        )
