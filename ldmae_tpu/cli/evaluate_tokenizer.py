@@ -126,9 +126,12 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
 
     key = jax.random.key(seed + rank)
     t0 = time.time()
+    steady = None  # (t_start, idx_start) after the first (compiling) batch
     for imgs_dev, ref_u8, labels in Prefetcher(device_batches(), buffer_size=4):
         if idx >= n_total:
             break
+        if idx > 0 and steady is None:
+            steady = (time.time(), idx)
         take = min(len(ref_u8), n_total - idx)
         key, sub = jax.random.split(key)
         u8, l, s = roundtrip(imgs_dev, sub)
@@ -152,8 +155,12 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
             print(f"[rank {rank}] {idx}/{n_total} "
                   f"({idx / (time.time() - t0):.1f} img/s)")
     pool.shutdown(wait=True)
+    rate = idx / max(time.time() - t0, 1e-9)
+    if steady is not None and idx > steady[1]:
+        rate = (idx - steady[1]) / max(time.time() - steady[0], 1e-9)
     print(f"[rank {rank}] roundtrip done: {idx} images, "
-          f"{idx / max(time.time() - t0, 1e-9):.1f} img/s")
+          f"{rate:.1f} img/s steady (incl. compile: "
+          f"{idx / max(time.time() - t0, 1e-9):.1f})")
 
     # cross-process metric reduction (the reference's all_reduce AVG,
     # evaluate_tokenizer.py:186-189: mean of per-batch means for
