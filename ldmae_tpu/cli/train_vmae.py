@@ -269,15 +269,19 @@ def main(args):
     def epoch_batches(order):
         def load_one(i):
             local_rng = np.random.default_rng(data_rng.integers(2**31))
+            # uint8 HWC: 4x less host->device traffic; the train step
+            # normalizes on device with load_image's exact arithmetic
             return train_augment(
-                Image.open(dataset.samples[int(i)][0]), local_rng, args.input_size
+                Image.open(dataset.samples[int(i)][0]), local_rng,
+                args.input_size, raw_uint8=True,
             )
 
         for s in range(steps_per_epoch):
             idx = order[(s * per_step) % len(order):][:per_step]
             if len(idx) < per_step:
                 idx = np.concatenate([idx, order[: per_step - len(idx)]])
-            yield np.stack(list(pool.map(load_one, idx)))
+            # device transfer on the prefetch thread overlaps the train step
+            yield jnp.asarray(np.stack(list(pool.map(load_one, idx))))
 
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):

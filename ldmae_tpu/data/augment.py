@@ -42,8 +42,13 @@ def train_augment(
     input_size: int,
     scale: Tuple[float, float] = (0.75, 1.0),
     hflip_prob: float = 0.5,
+    raw_uint8: bool = False,
 ) -> np.ndarray:
-    """-> (3, input_size, input_size) float32 in [-1, 1]."""
+    """-> (3, input_size, input_size) float32 in [-1, 1]; with
+    ``raw_uint8``, (input_size, input_size, 3) uint8 pixels — the crop /
+    resize / flip are uint8-safe and normalization moves on-device
+    (data.images.normalize_uint8_images, identical fp32 arithmetic), so
+    the host->device batch is 4x smaller."""
     width, height = img.size
     i, j, h, w = random_resized_crop_params(rng, width, height, scale)
     img = img.crop((j, i, j + w, i + h)).resize(
@@ -51,6 +56,8 @@ def train_augment(
     )
     if rng.uniform() < hflip_prob:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if raw_uint8:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
     arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
     arr = (arr - 0.5) / 0.5
     return arr.transpose(2, 0, 1)

@@ -182,7 +182,14 @@ def make_vmae_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         key = jax.random.fold_in(rng, state.step)
-        (loss, aux), grads = grad_fn(state.params, batch["x"], key)
+        x = batch["x"]
+        if x.dtype == jnp.uint8:
+            # uint8 (B, H, W, 3) pixels: 4x less host->device traffic than
+            # pre-normalized fp32; identical arithmetic on device
+            from ..data.images import normalize_uint8_images
+
+            x = normalize_uint8_images(x)
+        (loss, aux), grads = grad_fn(state.params, x, key)
         finite = jnp.isfinite(loss)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
