@@ -30,7 +30,6 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     from ..models.lpips import load_lpips_params, lpips as lpips_fn
     from ..models.tokenizers import build_tokenizer_fns
     from ..ops.gaussian import diagonal_gaussian
-    from PIL import Image
 
     model_type = config.vae.model_name
     folder_name = f"{model_type}_{epsilon}"
@@ -102,10 +101,14 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
 
     lpips_vals, ssim_vals, psnr_vals = [], [], []
     idx = 0
-    pool = ThreadPoolExecutor(8)
+    pool = ThreadPoolExecutor(2)
 
-    def save_png(arr, path):
-        Image.fromarray(arr).save(path)
+    def save_pngs(arrs, paths):
+        # native C++ encoder (zlib level 1): ~5-10x cheaper than PIL per
+        # image — the eval loop is host-bound on small machines
+        from ..data.native_io import write_pngs
+
+        write_pngs(arrs, paths, level=1, num_threads=4)
 
     from ..utils.prefetch import Prefetcher
 
@@ -145,11 +148,14 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
         from ..eval.metrics import psnr_batch_np
 
         psnr_vals.extend(psnr_batch_np(ref_u8, u8).tolist())
-        for i in range(len(u8)):
-            pool.submit(save_png, ref_u8[i], os.path.join(
-                ref_path, f"ref_image_rank_{rank}_{idx + i}.png"))
-            pool.submit(save_png, u8[i], os.path.join(
-                save_dir, f"decoded_image_rank_{rank}_{idx + i}.png"))
+        pool.submit(save_pngs, np.ascontiguousarray(ref_u8), [
+            os.path.join(ref_path, f"ref_image_rank_{rank}_{idx + i}.png")
+            for i in range(len(u8))
+        ])
+        pool.submit(save_pngs, u8, [
+            os.path.join(save_dir, f"decoded_image_rank_{rank}_{idx + i}.png")
+            for i in range(len(u8))
+        ])
         idx += len(u8)
         if idx % (batch * 10) < batch:
             print(f"[rank {rank}] {idx}/{n_total} "
