@@ -24,16 +24,12 @@ import numpy as np
 
 
 def folder_name(config) -> str:
-    """Sample-folder naming from model/ckpt/solver/cfg/shift
-    (inference.py:45-52)."""
-    s = config.sample
-    model_str = config.model.model_type.replace("/", "-")
-    ckpt_str = os.path.splitext(os.path.basename(config.ckpt_path or "random"))[0]
-    return (
-        f"{model_str}-{ckpt_str}-size-{config.data.image_size}-size-{config.data.image_size}"
-        f"-{s.mode}-{s.num_sampling_steps}-cfg-{s.cfg_scale}"
-        f"-interval{s.cfg_interval_start}-shift{s.timestep_shift}-seed-{config.train.global_seed}"
-    )
+    """Sample-folder naming, byte-identical to the reference
+    (inference.py:45-52) so `eval.save_npz --config` and resume find the
+    same directory."""
+    from ..eval.save_npz import folder_name_from_config
+
+    return folder_name_from_config(config)
 
 
 class AsyncPngWriter:
