@@ -67,9 +67,12 @@ class AsyncPngWriter:
         self.thread.join()
 
 
-def build_pipeline(config, ckpt_path=None, dit_params=None):
+def build_pipeline(config, ckpt_path=None, dit_params=None, demo=False):
     """Build (sample_fn, spec) from config; loads DiT weights from Orbax
-    (ema) or a torch .pt, and the VMAE tokenizer from vae.weight_path."""
+    (ema) or a torch .pt, and the VMAE tokenizer from vae.weight_path.
+
+    demo=True reproduces the reference's demo_sample_mode overrides
+    (inference.py:54-57, 239): cfg_interval off, timestep_shift 0."""
     from ..core.config import LDMAEConfig
     from ..eval.sampling import make_sample_fn
     from ..models.tokenizers import build_tokenizer_fns
@@ -138,9 +141,9 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
         spec, consts, transport,
         num_steps=s.num_sampling_steps,
         sampling_method=s.sampling_method,
-        timestep_shift=s.timestep_shift,
+        timestep_shift=0.0 if demo else s.timestep_shift,
         cfg_scale=s.cfg_scale,
-        cfg_interval=True,
+        cfg_interval=not demo,
         cfg_interval_start=s.cfg_interval_start,
         cfg_channels=s.cfg_channels,
         truncation=s.truncation_bound,
@@ -166,28 +169,37 @@ def build_pipeline(config, ckpt_path=None, dit_params=None):
     return sample_fn, bundle, spec
 
 
-def do_sample(config, demo: bool = False, out_root: str = None):
+def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = None):
     from ..eval.sampling import demo_labels
 
     exp_dir = os.path.join(config.train.output_dir, config.train.exp_name)
     out_dir = os.path.join(out_root or exp_dir, folder_name(config))
     s = config.sample
 
-    sample_fn, bundle, spec = build_pipeline(config)
+    sample_fn, bundle, spec = build_pipeline(config, demo=demo)
     sample_jit = jax.jit(sample_fn)
 
     if demo:
-        y = demo_labels()
+        # 8 fixed labels under CFG, label 0 x8 unconditional
+        # (inference.py:248-272); shift/interval off per build_pipeline
+        y = demo_labels() if s.cfg_scale > 1.0 else jnp.zeros((8,), jnp.int32)
         imgs = np.asarray(sample_jit(bundle, jax.random.key(config.train.global_seed), y))
-        os.makedirs(out_dir, exist_ok=True)
+        demo_dir = demo_out or "demo_images"
+        os.makedirs(demo_dir, exist_ok=True)
         from PIL import Image
 
         grid = imgs.reshape(2, 4, *imgs.shape[1:]).transpose(0, 2, 1, 3, 4)
         grid = grid.reshape(2 * imgs.shape[1], 4 * imgs.shape[2], 3)
-        path = os.path.join(out_dir, "demo_grid.png")
+        # reference naming (inference.py:258-260)
+        ckpt_iter = os.path.basename(str(config.ckpt_path or "random"))
+        ckpt_iter = ckpt_iter[:-3] if ckpt_iter.endswith(".pt") else os.path.splitext(ckpt_iter)[0]
+        exp_name = os.path.basename(config.train.exp_name)
+        path = os.path.join(
+            demo_dir, f"{exp_name}_cfg{s.cfg_scale}_{ckpt_iter}_demo_samples.png"
+        )
         Image.fromarray(grid).save(path)
         print(f"demo grid -> {path}")
-        return out_dir
+        return demo_dir
 
     # resume: skip if enough pngs exist (inference.py:67-77)
     fid_num = s.fid_num
@@ -240,6 +252,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--demo", action="store_true")
+    parser.add_argument("--demo_out", default=None,
+                        help="demo grid dir (default ./demo_images, like the reference)")
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--skip_fid", action="store_true")
     parser.add_argument(
@@ -264,7 +278,7 @@ def main():
         config.ckpt_path = args.ckpt
     if args.quant:
         config.parallel.quant = args.quant
-    out_dir = do_sample(config, demo=args.demo)
+    out_dir = do_sample(config, demo=args.demo, demo_out=args.demo_out)
 
     # FID vs the reference stats after sampling (inference.py:352-368)
     ref = config.data.fid_reference_file

@@ -150,13 +150,15 @@ class TestInferenceCLI:
         p = tmp_path / "cfg.yaml"
         p.write_text(yaml.safe_dump(cfg))
         r = subprocess.run(
-            [sys.executable, "-m", "ldmae_tpu.cli.inference", "--config", str(p), "--demo"],
+            [sys.executable, "-m", "ldmae_tpu.cli.inference", "--config", str(p),
+             "--demo", "--demo_out", str(tmp_path / "demo_images")],
             env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900,
         )
         assert r.returncode == 0, r.stderr[-3000:]
         import glob
 
-        grids = glob.glob(str(tmp_path / "out" / "demo" / "*" / "demo_grid.png"))
+        # reference naming: {exp}_cfg{scale}_{ckpt}_demo_samples.png
+        grids = glob.glob(str(tmp_path / "demo_images" / "demo_cfg4.0_*_demo_samples.png"))
         assert grids, r.stdout[-2000:]
         img = Image.open(grids[0])
         assert img.size == (4 * 64, 2 * 64)  # 2x4 grid of 64² images

@@ -157,11 +157,11 @@ class TestDriversDispatch:
         cfg = _write_config(tmp_path, str(tmp_path / "noimgs"), "sdv3")
         r = subprocess.run(
             [sys.executable, "-m", "ldmae_tpu.cli.inference",
-             "--config", cfg, "--demo"],
+             "--config", cfg, "--demo", "--demo_out", str(tmp_path / "demo")],
             env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900,
         )
         assert r.returncode == 0, r.stderr[-3000:]
-        grids = glob.glob(str(tmp_path / "out" / "tok" / "*" / "demo_grid.png"))
+        grids = glob.glob(str(tmp_path / "demo" / "*_demo_samples.png"))
         assert grids, r.stdout[-2000:]
         assert Image.open(grids[0]).size == (4 * 64, 2 * 64)
 
