@@ -72,8 +72,10 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
                 latent_std = jnp.std(latents, axis=(0, 2, 3), keepdims=True)
             latents = latents + epsilon * jax.random.normal(key, latents.shape) * latent_std
         decoded = tok.decode(params, latents, compute_dtype=jnp.bfloat16)
-        l = lpips_fn(lpips_params, decoded, imgs).mean()
-        s = ssim(decoded, imgs, data_range=(-1.0, 1.0))
+        # per-image values so the final (trimmed) batch can be sliced on
+        # host before aggregation
+        l = lpips_fn(lpips_params, decoded, imgs).reshape(-1)
+        s = ssim(decoded, imgs, data_range=(-1.0, 1.0), per_image=True)
         u8 = jnp.clip(127.5 * decoded + 128.0, 0, 255).transpose(0, 2, 3, 1).astype(jnp.uint8)
         return u8, l, s
 
@@ -86,15 +88,19 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     print(f"evaluating tokenizer on {n_global} images "
           f"({n_total} on rank {rank}, epsilon={epsilon})")
 
-    # local multi-chip: shard the batch over a dp mesh; XLA propagates the
-    # sharding through the whole roundtrip (same trick as cli.inference)
+    # local multi-chip: shard the batch over a dp mesh of THIS PROCESS's
+    # devices; XLA propagates the sharding through the whole roundtrip
+    # (same trick as cli.inference). The mesh must be local — each rank
+    # computes its own shard of the dataset independently (the reference's
+    # DDP model), and device_put of process-local data under a sharding
+    # spanning other hosts' devices would be wrong (parallel/mesh.py:56-63).
     batch_sharding = None
     if jax.local_device_count() > 1 and batch % jax.local_device_count() == 0:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel import create_mesh
 
-        mesh = create_mesh(dp=-1)
+        mesh = create_mesh(dp=-1, devices=jax.local_devices())
         batch_sharding = NamedSharding(
             mesh, P(("dp", "fsdp"), None, None, None)
         )
@@ -127,6 +133,15 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
 
     import time
 
+    # reference images are epsilon-independent: skip rewriting them when a
+    # previous sweep entry already wrote this rank's share (the reference's
+    # len(ref_png_files) < 50000 check, evaluate_tokenizer.py:139) — also
+    # required for sweep correctness with world>1 (rank 0 reads reference/
+    # for rFID while other ranks may already be on the next epsilon)
+    write_ref = len(
+        [f for f in os.listdir(ref_path) if f"_rank_{rank}_" in f]
+    ) < n_total
+
     key = jax.random.key(seed + rank)
     t0 = time.time()
     steady = None  # (t_start, idx_start) after the first (compiling) batch
@@ -138,20 +153,24 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
         take = min(len(ref_u8), n_total - idx)
         key, sub = jax.random.split(key)
         u8, l, s = roundtrip(imgs_dev, sub)
+        # slice to the --limit budget BEFORE aggregating (keeps the
+        # reference's mean-of-batch-means for LPIPS/SSIM, but only over
+        # in-budget images, consistent with the psnr/rFID image set)
         u8 = np.asarray(u8)[:take]
         ref_u8 = ref_u8[:take]
-        lpips_vals.append(float(l))
-        ssim_vals.append(float(s))
+        lpips_vals.append(float(np.asarray(l)[:take].mean()))
+        ssim_vals.append(float(np.asarray(s)[:take].mean()))
         # PSNR per image from the exact uint8 arrays being written — PNG is
         # lossless, so this equals the reference's folder-pairwise pass
         # (evaluate_tokenizer.py:194-209) without re-reading 2x50k files
         from ..eval.metrics import psnr_batch_np
 
         psnr_vals.extend(psnr_batch_np(ref_u8, u8).tolist())
-        pool.submit(save_pngs, np.ascontiguousarray(ref_u8), [
-            os.path.join(ref_path, f"ref_image_rank_{rank}_{idx + i}.png")
-            for i in range(len(u8))
-        ])
+        if write_ref:
+            pool.submit(save_pngs, np.ascontiguousarray(ref_u8), [
+                os.path.join(ref_path, f"ref_image_rank_{rank}_{idx + i}.png")
+                for i in range(len(u8))
+            ])
         pool.submit(save_pngs, u8, [
             os.path.join(save_dir, f"decoded_image_rank_{rank}_{idx + i}.png")
             for i in range(len(u8))
@@ -183,22 +202,29 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
         from ..parallel.distributed import barrier
 
         barrier(f"evaluate_tokenizer_pngs_{epsilon}")
-    if rank != 0:
-        return None
+    report = None
+    if rank == 0:
+        # rFID on the folders (evaluate_tokenizer.py:194-209), rank 0 only
+        fid = calculate_fid_given_paths([ref_path, save_dir])
 
-    # rFID on the folders (evaluate_tokenizer.py:194-209), rank 0 only
-    fid = calculate_fid_given_paths([ref_path, save_dir])
+        report = {
+            "rfid": fid,
+            "psnr": float(sums[4] / sums[5]),
+            "lpips": float(sums[0] / sums[1]),
+            "ssim": float(sums[2] / sums[3]),
+            "epsilon": epsilon,
+        }
+        print("Final Metrics:")
+        for k, v in report.items():
+            print(f"  {k}: {v:.4f}" if isinstance(v, float) else f"  {k}: {v}")
+    if world > 1:
+        # hold every rank until rank 0 has finished reading the PNG folders
+        # — in an epsilon sweep the next entry starts writing immediately
+        # (the reference has the same trailing dist.barrier(),
+        # evaluate_tokenizer.py:210)
+        from ..parallel.distributed import barrier
 
-    report = {
-        "rfid": fid,
-        "psnr": float(sums[4] / sums[5]),
-        "lpips": float(sums[0] / sums[1]),
-        "ssim": float(sums[2] / sums[3]),
-        "epsilon": epsilon,
-    }
-    print("Final Metrics:")
-    for k, v in report.items():
-        print(f"  {k}: {v:.4f}" if isinstance(v, float) else f"  {k}: {v}")
+        barrier(f"evaluate_tokenizer_done_{epsilon}")
     return report
 
 

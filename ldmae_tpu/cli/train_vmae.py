@@ -276,12 +276,18 @@ def main(args):
                 args.input_size, raw_uint8=True,
             )
 
+        # pre-transfer on the prefetch thread only when there is a single
+        # local device and process — with dp>1 the batch must go through
+        # shard_batch's one-shot placement (a device-0 copy first would add
+        # a hop and a memory spike; multi-process needs
+        # make_array_from_process_local_data on host data)
+        pre_put = jax.process_count() == 1 and jax.local_device_count() == 1
         for s in range(steps_per_epoch):
             idx = order[(s * per_step) % len(order):][:per_step]
             if len(idx) < per_step:
                 idx = np.concatenate([idx, order[: per_step - len(idx)]])
-            # device transfer on the prefetch thread overlaps the train step
-            yield jnp.asarray(np.stack(list(pool.map(load_one, idx))))
+            batch = np.stack(list(pool.map(load_one, idx)))
+            yield jnp.asarray(batch) if pre_put else batch
 
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
@@ -310,7 +316,10 @@ def main(args):
         with open(log_path, "a") as f:
             f.write(json.dumps({f"train_{k}": v for k, v in stats.items()}) + "\n")
 
-        if (epoch + 1) % args.save_epochs == 0 or epoch + 1 == args.epochs:
+        # reference cadence (main_pretrain.py:286): epochs 0, S, 2S, ...
+        # plus the final epoch — train_ae.sh's stage-3 handoff depends on
+        # checkpoint-90 existing at the default save_epochs=10
+        if epoch % args.save_epochs == 0 or epoch + 1 == args.epochs:
             path = save_checkpoint(args.output_dir, state, config=vars(args))
             # epoch alias mirroring the reference's checkpoint-{epoch}.pth
             # naming (misc.py:468-485) — train_ae.sh hands checkpoint-90 to

@@ -43,8 +43,10 @@ def ssim(
     sigma: float = 1.5,
     k1: float = 0.01,
     k2: float = 0.03,
+    per_image: bool = False,
 ) -> jnp.ndarray:
-    """Mean SSIM over a batch. img1/img2: (N, C, H, W) float.
+    """Mean SSIM over a batch ((N,) per-image means with ``per_image``).
+    img1/img2: (N, C, H, W) float.
 
     data_range may be a (low, high) tuple, in which case inputs are clamped
     to it first — matching torchmetrics' StructuralSimilarityIndexMeasure
@@ -79,4 +81,6 @@ def ssim(
     ssim_map = ((2 * mu_xy + c1) * (2 * sigma_xy + c2)) / (
         (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2)
     )
+    if per_image:
+        return jnp.mean(ssim_map, axis=(1, 2, 3))
     return jnp.mean(ssim_map)

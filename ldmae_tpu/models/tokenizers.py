@@ -20,6 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# the reference's SD-VAE family names (extract_features.py:67, inference.py:139,
+# evaluate_tokenizer.py:64)
+SDVAE_NAMES = ("ae", "dae", "vae", "sdv3")
+
+
 class _Base:
     latent_dim: int
 
@@ -77,15 +82,12 @@ class VMAE_Tokenizer(_Base):
             kl_loss_weight=True, smooth_output=True,
         )
         self.consts = VMAEConsts(self.spec)
-        if weight_path:
-            # a given-but-missing path must fail loudly (the reference
-            # crashes in torch.load, extract_features.py:62) — silent random
-            # weights would make a whole extraction run produce garbage
-            if not os.path.exists(weight_path):
-                raise FileNotFoundError(f"tokenizer checkpoint not found: {weight_path}")
-            self.params = torch_import.import_vmae_checkpoint(weight_path, self.spec)
-        else:
-            self.params = init_vmae_params(jax.random.key(0), self.spec)
+        self.params = _load_or_init(
+            weight_path,
+            lambda p: torch_import.import_vmae_checkpoint(p, self.spec),
+            lambda: init_vmae_params(jax.random.key(0), self.spec),
+            "VMAE",
+        )
         self.latent_dim = self.spec.latent_dim
         self._vm = vmae_mod
 
@@ -265,7 +267,7 @@ def build_tokenizer_fns(
 
     from . import conv_vae as cv
 
-    if family in ("ae", "dae", "vae", "sdv3"):
+    if family in SDVAE_NAMES:
         from .sdvae_import import load_sdvae
 
         spec = cv.sdvae_spec()
@@ -327,6 +329,6 @@ def build_tokenizer(model_name: str, weight_path: str = "", img_size: int = 256)
         return VA_VAE(weight_path, img_size)
     if model_name == "marvae":
         return MAR_VAE(weight_path, img_size)
-    if model_name in ("ae", "dae", "vae", "sdv3"):
+    if model_name in SDVAE_NAMES:
         return SD_VAE(weight_path, img_size)
     raise ValueError(f"unknown tokenizer {model_name!r}")

@@ -165,3 +165,39 @@ class TestCrossStageResume:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestSaveCadence:
+    def test_reference_epoch_cadence(self, tmp_path):
+        """Checkpoints at epoch 0, S, 2S, ... plus the final epoch
+        (main_pretrain.py:286) — stage 3's checkpoint-90 handoff depends on
+        epoch-90 existing at the default save_epochs=10 (the old
+        (epoch+1)%S cadence produced 9, 19, ..., never 90)."""
+        root = tmp_path / "imgs" / "c0"
+        root.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+            ).save(root / f"{i}.png")
+        out = tmp_path / "out"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "ldmae_tpu.cli.train_vmae",
+                "--model", "mae_for_ldmae_f8d16_small",
+                "--data_path", str(tmp_path / "imgs"),
+                "--output_dir", str(out),
+                "--input_size", "32", "--batch_size", "2",
+                "--epochs", "5", "--warmup_epochs", "0",
+                "--save_epochs", "2", "--steps_per_epoch", "1",
+                "--mask_ratio", "0.25", "--no_cls", "--smooth_output",
+            ],
+            env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        aliases = sorted(
+            f for f in os.listdir(out / "checkpoints")
+            if f.startswith("checkpoint-")
+        )
+        # epochs 0, 2, 4 by cadence + final epoch 4 (already covered)
+        assert aliases == ["checkpoint-0", "checkpoint-2", "checkpoint-4"], aliases
