@@ -40,7 +40,9 @@ def main():
     from ..eval.evaluator import Evaluator
 
     ev = Evaluator(weights_path=a.weights, batch_size=a.batch_size)
-    report = ev.full_report(a.paths[0], a.paths[1], ref_stats_npz=a.ref_stats)
+    report = ev.full_report(
+        a.paths[0], a.paths[1], ref_stats_npz=a.ref_stats, limit=a.sp_len
+    )
     # matches the ADM evaluator's printed block (evaluator.py:69-75)
     print("computing/reading reference batch statistics... done")
     print(json.dumps({k: float(v) for k, v in report.items()}, indent=2))

@@ -73,6 +73,22 @@ def build_pipeline(config, ckpt_path=None, dit_params=None, demo=False):
 
     demo=True reproduces the reference's demo_sample_mode overrides
     (inference.py:54-57, 239): cfg_interval off, timestep_shift 0."""
+    import contextlib
+
+    # All the param prep inside (init, checkpoint load, layout permutations,
+    # quantization) is many small ops — on a remote-compiled TPU backend
+    # each would be its own sub-second remote compile (minutes of wall
+    # clock on a slow compile service). Run them on the local CPU backend;
+    # the first sample_fn call moves everything to the accelerator once.
+    try:
+        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        prep_ctx = contextlib.nullcontext()
+    with prep_ctx:
+        return _build_pipeline(config, ckpt_path, dit_params, demo)
+
+
+def _build_pipeline(config, ckpt_path, dit_params, demo):
     from ..core.config import LDMAEConfig
     from ..eval.sampling import make_sample_fn
     from ..models.tokenizers import build_tokenizer_fns
@@ -176,6 +192,15 @@ def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = 
     out_dir = os.path.join(out_root or exp_dir, folder_name(config))
     s = config.sample
 
+    # resume BEFORE the (checkpoint-loading) pipeline build: skip if enough
+    # pngs exist (inference.py:67-77)
+    fid_num = s.fid_num
+    if not demo and os.path.isdir(out_dir):
+        existing = len([f for f in os.listdir(out_dir) if f.endswith(".png")])
+        if existing >= fid_num:
+            print(f"{out_dir} already has {existing} >= {fid_num} pngs, skipping")
+            return out_dir
+
     sample_fn, bundle, spec = build_pipeline(config, demo=demo)
     sample_jit = jax.jit(sample_fn)
 
@@ -201,28 +226,22 @@ def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = 
         print(f"demo grid -> {path}")
         return demo_dir
 
-    # resume: skip if enough pngs exist (inference.py:67-77)
-    fid_num = s.fid_num
-    if os.path.isdir(out_dir):
-        existing = len([f for f in os.listdir(out_dir) if f.endswith(".png")])
-        if existing >= fid_num:
-            print(f"{out_dir} already has {existing} >= {fid_num} pngs, skipping")
-            return out_dir
-
     writer = AsyncPngWriter(out_dir)
     per_batch = s.per_proc_batch_size
     n_batches = (fid_num + per_batch - 1) // per_batch
     rank, world = jax.process_index(), jax.process_count()
     rng = np.random.default_rng(config.train.global_seed + rank)
 
-    # single-host multi-chip: shard the label batch over a dp mesh; XLA
-    # propagates the sharding through z and the whole pipeline (the
-    # reference instead runs one process per GPU).
+    # per-host multi-chip: shard the label batch over a dp mesh of THIS
+    # PROCESS's devices; XLA propagates the sharding through z and the
+    # whole pipeline. The mesh must be local — ranks sample disjoint
+    # batches independently (the reference runs one process per GPU), and
+    # a global mesh with process-local data would scatter wrongly.
     mesh = None
     if jax.local_device_count() > 1 and per_batch % jax.local_device_count() == 0:
         from ..parallel import create_mesh
 
-        mesh = create_mesh(dp=-1)
+        mesh = create_mesh(dp=-1, devices=jax.local_devices())
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         y_sharding = NamedSharding(mesh, P(("dp", "fsdp")))

@@ -447,12 +447,14 @@ class Evaluator:
         return float(pr[0][0]), float(pr[1][0])
 
     def full_report(
-        self, ref_path: str, sample_path: str, ref_stats_npz: Optional[str] = None
+        self, ref_path: str, sample_path: str, ref_stats_npz: Optional[str] = None,
+        limit: int = 0,
     ) -> Dict[str, float]:
         """FID / sFID / IS / Precision / Recall between a reference batch and
-        a sample batch (the reference pipeline's final eval step)."""
-        ref_acts = self.read_activations(ref_path)
-        sample_acts = self.read_activations(sample_path)
+        a sample batch (the reference pipeline's final eval step).
+        ``limit`` caps the images read from each side (0 = all)."""
+        ref_acts = self.read_activations(ref_path, limit=limit)
+        sample_acts = self.read_activations(sample_path, limit=limit)
         ref_stats, ref_stats_spatial = self.read_statistics(
             ref_stats_npz or ref_path, ref_acts
         )
