@@ -412,8 +412,9 @@ class Evaluator:
         self, npz_path: str, activations: Tuple[np.ndarray, np.ndarray]
     ) -> Tuple[FIDStatistics, FIDStatistics]:
         """Stats from a reference npz with {mu, sigma, mu_s, sigma_s}, else
-        computed from activations (evaluator.py:179-188)."""
-        if npz_path and os.path.exists(npz_path):
+        computed from activations (evaluator.py:179-188). A folder
+        reference path falls through to computing from activations."""
+        if npz_path and npz_path.endswith(".npz") and os.path.isfile(npz_path):
             obj = np.load(npz_path)
             if "mu" in list(obj.keys()):
                 return (

@@ -124,3 +124,28 @@ class TestStreamedActivations:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestReadStatistics:
+    def test_folder_reference_falls_through(self, cheap_evaluator, tmp_path):
+        """A folder reference path must compute stats from activations, not
+        np.load the directory (full_report passes ref_path through when no
+        stats npz is given)."""
+        acts = (
+            np.random.default_rng(0).standard_normal((16, 8)),
+            np.random.default_rng(1).standard_normal((16, 4)),
+        )
+        d = tmp_path / "refdir"
+        d.mkdir()
+        s1, s2 = cheap_evaluator.read_statistics(str(d), acts)
+        np.testing.assert_allclose(s1.mu, acts[0].mean(axis=0))
+        assert s2.sigma.shape == (4, 4)
+
+    def test_stats_npz_is_used(self, cheap_evaluator, tmp_path):
+        p = str(tmp_path / "stats.npz")
+        np.savez(p, mu=np.ones(8), sigma=np.eye(8),
+                 mu_s=np.zeros(4), sigma_s=np.eye(4))
+        acts = (np.zeros((4, 8)), np.zeros((4, 4)))
+        s1, s2 = cheap_evaluator.read_statistics(p, acts)
+        np.testing.assert_array_equal(s1.mu, np.ones(8))
+        np.testing.assert_array_equal(s2.sigma, np.eye(4))
