@@ -279,3 +279,43 @@ class TestWarmStartHalfRope:
         # ordering is visible in the log: warm start line BEFORE the layout line
         assert "warm-started" in log and "half-split RoPE layout" in log
         assert log.index("warm-started") < log.index("half-split RoPE layout")
+
+
+class TestInferenceResumeSkip:
+    def test_skip_path_needs_no_checkpoint(self, tmp_path):
+        """The PNG resume check runs BEFORE the pipeline build: with enough
+        pngs already present, inference must skip cleanly even when the
+        configured checkpoint does not exist (inference.py:67-77)."""
+        import yaml
+
+        cfg = {
+            "ckpt_path": str(tmp_path / "missing" / "0009999.pt"),
+            "data": {"data_path": str(tmp_path / "nolat"), "image_size": 64,
+                     "num_classes": 4, "latent_norm": True, "sample": True},
+            "vae": {"model_name": "vmae_f8d16", "downsample_ratio": 8,
+                    "weight_path": ""},
+            "model": {"model_type": "LightningDiT-debug", "in_chans": 16},
+            "train": {"output_dir": str(tmp_path / "out"), "exp_name": "r"},
+            "sample": {"num_sampling_steps": 4, "cfg_scale": 4.0,
+                       "per_proc_batch_size": 4, "fid_num": 2},
+        }
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        from ldmae_tpu.core.config import LDMAEConfig
+        from ldmae_tpu.eval.save_npz import folder_name_from_config
+
+        config = LDMAEConfig.from_yaml(str(p))
+        d = tmp_path / "out" / "r" / folder_name_from_config(config)
+        d.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            Image.fromarray(
+                rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+            ).save(d / f"{i:06d}.png")
+        r = subprocess.run(
+            [sys.executable, "-m", "ldmae_tpu.cli.inference",
+             "--config", str(p), "--skip_fid"],
+            env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "skipping" in r.stdout
