@@ -90,25 +90,37 @@ def main():
 
     mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
     key = jax.random.key(config.train.global_seed)
-    spec, consts, params, transport, tx, step_fn = build_from_config(config, key)
 
-    # warm start from a torch checkpoint (train_accum.py:95-103, 308-334);
-    # MUST precede the half-rope permutation — imported weights are in the
-    # canonical interleaved layout, so permuting first would let the warm
-    # start silently overwrite the permutation (inference.py orders the
-    # same way)
-    if config.train.weight_init:
-        loaded = torch_import.import_dit_checkpoint(
-            config.train.weight_init, spec, key="model"
-        )
-        params = torch_import.warm_start_filter(params, loaded)
-        logger.info(f"warm-started from {config.train.weight_init}")
+    # Param init/import/permutation is many small ops; on a remote-compiled
+    # TPU backend each becomes its own remote compile (minutes of startup).
+    # Prep on the local CPU backend; shard_params below does the one
+    # host->device placement.
+    import contextlib
 
-    if config.parallel.rope_layout == "half":
-        from ..models.lightningdit import permute_qk_for_half_rope
+    try:
+        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        prep_ctx = contextlib.nullcontext()
+    with prep_ctx:
+        spec, consts, params, transport, tx, step_fn = build_from_config(config, key)
 
-        params = permute_qk_for_half_rope(params, spec)
-        logger.info("using half-split RoPE layout (export applies the inverse)")
+        # warm start from a torch checkpoint (train_accum.py:95-103,
+        # 308-334); MUST precede the half-rope permutation — imported
+        # weights are in the canonical interleaved layout, so permuting
+        # first would let the warm start silently overwrite the permutation
+        # (inference.py orders the same way)
+        if config.train.weight_init:
+            loaded = torch_import.import_dit_checkpoint(
+                config.train.weight_init, spec, key="model"
+            )
+            params = torch_import.warm_start_filter(params, loaded)
+            logger.info(f"warm-started from {config.train.weight_init}")
+
+        if config.parallel.rope_layout == "half":
+            from ..models.lightningdit import permute_qk_for_half_rope
+
+            params = permute_qk_for_half_rope(params, spec)
+            logger.info("using half-split RoPE layout (export applies the inverse)")
 
     params = shard_params(mesh, params, use_fsdp=args.fsdp > 1, use_tp=args.tp > 1)
     state = init_train_state(params, tx)

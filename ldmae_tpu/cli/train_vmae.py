@@ -91,7 +91,7 @@ def main(args):
     from ..data.augment import train_augment
     from ..data.images import ImageFolderDataset
     from ..models.vmae import VMAEConsts, init_vmae_params, vmae_spec
-    from ..parallel import create_mesh, shard_batch
+    from ..parallel import create_mesh, shard_batch, shard_params
     from ..train.state import init_train_state, restore_checkpoint, save_checkpoint
     from ..train.train_vmae import make_vmae_optimizer, make_vmae_train_step
     from ..train import torch_import
@@ -116,6 +116,16 @@ def main(args):
         ldmae_mode=args.tune_decoder,
         use_checkpoint=args.use_checkpoint,
     )
+    # param init/import/merge is many small ops; on a remote-compiled TPU
+    # backend each becomes its own remote compile (minutes of startup) —
+    # prep on the local CPU backend, then place once via shard_params
+    import contextlib
+
+    try:
+        _prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        _prep_ctx = contextlib.nullcontext()
+    _prep_ctx.__enter__()
     gradual = None
     if args.gradual_resol:
         # the reference halves patch_size in the ctor for this variant
@@ -198,6 +208,9 @@ def main(args):
             )
         else:
             raise FileNotFoundError(f"--resume {args.resume}: not found")
+
+    _prep_ctx.__exit__(None, None, None)
+    params = shard_params(mesh, params)
 
     # n_dev = jax.device_count() is already GLOBAL across processes — don't
     # multiply by process_count again (reference: batch * accum * world_size,
