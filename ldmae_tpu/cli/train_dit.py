@@ -209,6 +209,24 @@ def main():
     start = time.time()
     logger.info(f"training for {config.train.max_steps} steps "
                 f"(global_batch={config.train.global_batch_size}, accum={accum})")
+
+    # graceful preemption (no reference equivalent — the reference loses up
+    # to ckpt_every steps on SIGTERM): save a checkpoint and exit cleanly.
+    # On multi-host runs this relies on every process receiving the signal
+    # (the normal TPU-pod preemption behavior) since the Orbax save is a
+    # collective.
+    import signal
+
+    stop_signal = []
+
+    def _request_stop(signum, frame):
+        stop_signal.append(signum)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(_sig, _request_stop)
+        except ValueError:
+            pass  # not the main thread (embedded use)
     while train_steps < config.train.max_steps:
         host = next(batches)
         batch = {
@@ -233,6 +251,15 @@ def main():
                 writer.add_scalar("Loss/train", avg_loss, train_steps)
             pending_losses, log_steps = [], 0
             start = time.time()
+
+        if stop_signal:
+            logger.info(
+                f"received signal {stop_signal[0]}; saving preemption "
+                f"checkpoint at step {train_steps}"
+            )
+            path = save_checkpoint(exp_dir, state, config=config.to_dict())
+            logger.info(f"Saved preemption checkpoint to {path}")
+            return
 
         if train_steps % config.train.ckpt_every == 0 and train_steps > 0:
             # every process participates: Orbax save on sharded arrays is a

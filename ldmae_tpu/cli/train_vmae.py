@@ -302,6 +302,21 @@ def main(args):
             batch = np.stack(list(pool.map(load_one, idx)))
             yield jnp.asarray(batch) if pre_put else batch
 
+    # graceful preemption: checkpoint + clean exit on SIGTERM/SIGINT (the
+    # reference loses up to save_epochs of work)
+    import signal
+
+    stop_signal = []
+
+    def _request_stop(signum, frame):
+        stop_signal.append(signum)
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(_sig, _request_stop)
+        except ValueError:
+            pass
+
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         meters = {k: 0.0 for k in ("loss", "vis_loss", "mask_loss", "kl_loss", "p_loss")}
@@ -316,6 +331,11 @@ def main(args):
             n_steps += 1
             if not bool(metrics["loss_finite"]):
                 print(f"WARNING: non-finite loss at step {int(state.step)} (update skipped)")
+            if stop_signal:
+                path = save_checkpoint(args.output_dir, state, config=vars(args))
+                print(f"received signal {stop_signal[0]}; saved preemption "
+                      f"checkpoint {path}")
+                return
 
         stats = {k: v / n_steps for k, v in meters.items()}
         stats.update(epoch=epoch, time=time.time() - t0)
