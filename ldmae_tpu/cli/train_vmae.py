@@ -338,12 +338,20 @@ def main(args):
                 return
 
         stats = {k: v / n_steps for k, v in meters.items()}
+        # the reference's lr meter (engine_pretrain.py:95-105 logs it to TB
+        # alongside the losses): per-step fractional-epoch cosine value at
+        # the epoch midpoint
+        from ..train.train_vmae import cosine_lr
+
+        lr_fn = cosine_lr(lr, args.min_lr, args.warmup_epochs, args.epochs,
+                          args.fixed_lr)
+        stats["lr"] = float(lr_fn(jnp.asarray(epoch + 0.5)))
         stats.update(epoch=epoch, time=time.time() - t0)
         if writer is not None:
             x = int((epoch + 1) * 1000)  # epoch_1000x axis
             for name, tb in [("loss", "train_loss"), ("vis_loss", "vis_loss"),
                              ("mask_loss", "mask_loss"), ("kl_loss", "kl_loss"),
-                             ("p_loss", "p_loss")]:
+                             ("p_loss", "p_loss"), ("lr", "lr")]:
                 writer.add_scalar(tb, stats[name], x)
         print(json.dumps({f"train_{k}": v for k, v in stats.items()}))
         with open(log_path, "a") as f:
