@@ -108,6 +108,7 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     lpips_vals, ssim_vals, psnr_vals = [], [], []
     idx = 0
     pool = ThreadPoolExecutor(2)
+    png_futures = []
 
     def save_pngs(arrs, paths):
         # native C++ encoder (zlib level 1): ~5-10x cheaper than PIL per
@@ -132,6 +133,27 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
             yield dev, imgs_u8, labels
 
     import time
+
+    def _prune_rank_files(d, keep):
+        """Remove this rank's stale files beyond the current budget — a
+        previous larger-limit run would otherwise leave extra PNGs that
+        silently pollute the folder rFID."""
+        removed = 0
+        for f in os.listdir(d):
+            if f"_rank_{rank}_" not in f:
+                continue
+            try:
+                i = int(f.rsplit("_", 1)[-1].split(".")[0])
+            except ValueError:
+                continue
+            if i >= keep:
+                os.remove(os.path.join(d, f))
+                removed += 1
+        if removed:
+            print(f"[rank {rank}] pruned {removed} stale files in {d}")
+
+    _prune_rank_files(ref_path, n_total)
+    _prune_rank_files(save_dir, n_total)
 
     # reference images are epsilon-independent: skip rewriting them when a
     # previous sweep entry already wrote this rank's share (the reference's
@@ -167,19 +189,21 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
 
         psnr_vals.extend(psnr_batch_np(ref_u8, u8).tolist())
         if write_ref:
-            pool.submit(save_pngs, np.ascontiguousarray(ref_u8), [
+            png_futures.append(pool.submit(save_pngs, np.ascontiguousarray(ref_u8), [
                 os.path.join(ref_path, f"ref_image_rank_{rank}_{idx + i}.png")
                 for i in range(len(u8))
-            ])
-        pool.submit(save_pngs, u8, [
+            ]))
+        png_futures.append(pool.submit(save_pngs, u8, [
             os.path.join(save_dir, f"decoded_image_rank_{rank}_{idx + i}.png")
             for i in range(len(u8))
-        ])
+        ]))
         idx += len(u8)
         if idx % (batch * 10) < batch:
             print(f"[rank {rank}] {idx}/{n_total} "
                   f"({idx / (time.time() - t0):.1f} img/s)")
     pool.shutdown(wait=True)
+    for f in png_futures:
+        f.result()  # surface writer failures (partial writes raise OSError)
     rate = idx / max(time.time() - t0, 1e-9)
     if steady is not None and idx > steady[1]:
         rate = (idx - steady[1]) / max(time.time() - steady[0], 1e-9)

@@ -220,6 +220,11 @@ def main():
     stop_signal = []
 
     def _request_stop(signum, frame):
+        if stop_signal:
+            # second signal: give up on the graceful path (a hung step or
+            # a long Orbax save) and die with default semantics
+            signal.signal(signum, signal.SIG_DFL)
+            os.kill(os.getpid(), signum)
         stop_signal.append(signum)
 
     for _sig in (signal.SIGTERM, signal.SIGINT):

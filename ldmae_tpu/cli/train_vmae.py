@@ -125,91 +125,95 @@ def main(args):
         _prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
     except RuntimeError:
         _prep_ctx = contextlib.nullcontext()
-    _prep_ctx.__enter__()
-    gradual = None
-    if args.gradual_resol:
-        # the reference halves patch_size in the ctor for this variant
-        # (models_mae.py:310-312); PE tables: encoder on the full half-patch
-        # grid, decoder on the post-Downsample /2 grid
-        import dataclasses
 
-        from ..models.vmae_variants import GradualConsts, init_gradual_params
+    def _prep_params(spec):
+        gradual = None
+        if args.gradual_resol:
+            # the reference halves patch_size in the ctor for this variant
+            # (models_mae.py:310-312); PE tables: encoder on the full half-patch
+            # grid, decoder on the post-Downsample /2 grid
+            import dataclasses
 
-        spec = dataclasses.replace(spec, patch_size=spec.patch_size // 2)
-        consts = GradualConsts(spec)
-        params, down_after, up_after = init_gradual_params(
-            jax.random.key(args.seed), spec
-        )
-        gradual = (down_after, up_after)
-    else:
-        consts = VMAEConsts(spec)
-        params = init_vmae_params(jax.random.key(args.seed), spec)
+            from ..models.vmae_variants import GradualConsts, init_gradual_params
 
-    if args.resume:
-        if args.resume.endswith((".pth", ".pt")):
-            if gradual is not None:
-                # gradual checkpoints interleave the Down/Upsample convs
-                # inside the block lists (models_mae.py:352-395)
-                sd = torch_import.load_torch_state_dict(args.resume)
-                params = torch_import.import_vmae_state_dict_gradual(
-                    sd, spec, gradual[0], gradual[1]
+            spec = dataclasses.replace(spec, patch_size=spec.patch_size // 2)
+            consts = GradualConsts(spec)
+            params, down_after, up_after = init_gradual_params(
+                jax.random.key(args.seed), spec
+            )
+            gradual = (down_after, up_after)
+        else:
+            consts = VMAEConsts(spec)
+            params = init_vmae_params(jax.random.key(args.seed), spec)
+
+        if args.resume:
+            if args.resume.endswith((".pth", ".pt")):
+                if gradual is not None:
+                    # gradual checkpoints interleave the Down/Upsample convs
+                    # inside the block lists (models_mae.py:352-395)
+                    sd = torch_import.load_torch_state_dict(args.resume)
+                    params = torch_import.import_vmae_state_dict_gradual(
+                        sd, spec, gradual[0], gradual[1]
+                    )
+                else:
+                    params = torch_import.import_vmae_checkpoint(args.resume, spec)
+                print(f"resumed weights from torch checkpoint {args.resume}")
+            elif os.path.isdir(args.resume):
+                # cross-stage warm start from an Orbax checkpoint: either a step
+                # dir / 'checkpoint-{epoch}' alias, or a stage output dir (take
+                # its latest). Loads model weights only — the reference's stage-3
+                # handoff restores the state_dict but NOT optimizer/epoch when
+                # tune_decoder is set (misc.py:501-531, train_ae.sh:106).
+                import orbax.checkpoint as ocp
+
+                from ..train.state import list_checkpoints
+
+                path = os.path.abspath(args.resume)
+                if not os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")):
+                    steps = list_checkpoints(path)
+                    if not steps:
+                        raise FileNotFoundError(
+                            f"--resume {args.resume}: no Orbax checkpoint found"
+                        )
+                    path = os.path.join(path, "checkpoints", f"{steps[-1]:07d}")
+                with ocp.PyTreeCheckpointer() as ckptr:
+                    restored_tree = ckptr.restore(os.path.realpath(path))
+
+                # strict=False merge like the reference's load_state_dict
+                # (misc.py:522): stage 1 checkpoints carry mask_token which the
+                # ldmae_mode stage-3 model doesn't have, and vice versa
+                missing, unexpected = [], []
+
+                def merge(dst, src, prefix=""):
+                    if isinstance(dst, dict):
+                        out = {}
+                        for k, v in dst.items():
+                            if isinstance(src, dict) and k in src:
+                                out[k] = merge(v, src[k], f"{prefix}{k}.")
+                            else:
+                                missing.append(prefix + k)
+                                out[k] = v
+                        if isinstance(src, dict):
+                            unexpected.extend(prefix + k for k in src if k not in dst)
+                        return out
+                    arr = jnp.asarray(src)
+                    if arr.shape != dst.shape:
+                        missing.append(f"{prefix[:-1]} (shape {arr.shape} != {dst.shape})")
+                        return dst
+                    return arr.astype(dst.dtype)
+
+                params = merge(params, restored_tree["params"])
+                print(
+                    f"resumed weights from Orbax checkpoint {path} "
+                    f"(missing={missing}, unexpected={unexpected})"
                 )
             else:
-                params = torch_import.import_vmae_checkpoint(args.resume, spec)
-            print(f"resumed weights from torch checkpoint {args.resume}")
-        elif os.path.isdir(args.resume):
-            # cross-stage warm start from an Orbax checkpoint: either a step
-            # dir / 'checkpoint-{epoch}' alias, or a stage output dir (take
-            # its latest). Loads model weights only — the reference's stage-3
-            # handoff restores the state_dict but NOT optimizer/epoch when
-            # tune_decoder is set (misc.py:501-531, train_ae.sh:106).
-            import orbax.checkpoint as ocp
+                raise FileNotFoundError(f"--resume {args.resume}: not found")
 
-            from ..train.state import list_checkpoints
+        return spec, consts, params, gradual
 
-            path = os.path.abspath(args.resume)
-            if not os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")):
-                steps = list_checkpoints(path)
-                if not steps:
-                    raise FileNotFoundError(
-                        f"--resume {args.resume}: no Orbax checkpoint found"
-                    )
-                path = os.path.join(path, "checkpoints", f"{steps[-1]:07d}")
-            with ocp.PyTreeCheckpointer() as ckptr:
-                restored_tree = ckptr.restore(os.path.realpath(path))
-
-            # strict=False merge like the reference's load_state_dict
-            # (misc.py:522): stage 1 checkpoints carry mask_token which the
-            # ldmae_mode stage-3 model doesn't have, and vice versa
-            missing, unexpected = [], []
-
-            def merge(dst, src, prefix=""):
-                if isinstance(dst, dict):
-                    out = {}
-                    for k, v in dst.items():
-                        if isinstance(src, dict) and k in src:
-                            out[k] = merge(v, src[k], f"{prefix}{k}.")
-                        else:
-                            missing.append(prefix + k)
-                            out[k] = v
-                    if isinstance(src, dict):
-                        unexpected.extend(prefix + k for k in src if k not in dst)
-                    return out
-                arr = jnp.asarray(src)
-                if arr.shape != dst.shape:
-                    missing.append(f"{prefix[:-1]} (shape {arr.shape} != {dst.shape})")
-                    return dst
-                return arr.astype(dst.dtype)
-
-            params = merge(params, restored_tree["params"])
-            print(
-                f"resumed weights from Orbax checkpoint {path} "
-                f"(missing={missing}, unexpected={unexpected})"
-            )
-        else:
-            raise FileNotFoundError(f"--resume {args.resume}: not found")
-
-    _prep_ctx.__exit__(None, None, None)
+    with _prep_ctx:
+        spec, consts, params, gradual = _prep_params(spec)
     params = shard_params(mesh, params)
 
     # n_dev = jax.device_count() is already GLOBAL across processes — don't
@@ -254,9 +258,14 @@ def main(args):
     )
     state = init_train_state(params, tx)
     restored = restore_checkpoint(args.output_dir, state)
-    if restored is not None and not args.resume:
+    if restored is not None:
+        # a checkpoint in THIS stage's output_dir always represents later
+        # progress than an --resume warm start (e.g. the stage-3 relaunch
+        # after a preemption: --resume points at stage 1's checkpoint-90,
+        # but the preemption checkpoint carries this stage's steps)
         state = restored
-        print(f"resumed from step {int(state.step)}")
+        print(f"resumed from step {int(state.step)}"
+              + (" (overrides --resume warm start)" if args.resume else ""))
 
     rng = jax.random.key(args.seed + 1)
     data_rng = np.random.default_rng(args.seed)
@@ -279,7 +288,7 @@ def main(args):
 
     pool = ThreadPoolExecutor(max_workers=args.num_workers)
 
-    def epoch_batches(order):
+    def epoch_batches(order, skip_steps=0):
         def load_one(i):
             local_rng = np.random.default_rng(data_rng.integers(2**31))
             # uint8 HWC: 4x less host->device traffic; the train step
@@ -295,7 +304,7 @@ def main(args):
         # a hop and a memory spike; multi-process needs
         # make_array_from_process_local_data on host data)
         pre_put = jax.process_count() == 1 and jax.local_device_count() == 1
-        for s in range(steps_per_epoch):
+        for s in range(skip_steps, steps_per_epoch):
             idx = order[(s * per_step) % len(order):][:per_step]
             if len(idx) < per_step:
                 idx = np.concatenate([idx, order[: per_step - len(idx)]])
@@ -309,6 +318,11 @@ def main(args):
     stop_signal = []
 
     def _request_stop(signum, frame):
+        if stop_signal:
+            # second signal: give up on the graceful path (a hung step or
+            # a long Orbax save) and die with default semantics
+            signal.signal(signum, signal.SIG_DFL)
+            os.kill(os.getpid(), signum)
         stop_signal.append(signum)
 
     for _sig in (signal.SIGTERM, signal.SIGINT):
@@ -318,12 +332,17 @@ def main(args):
             pass
 
     start_epoch = int(state.step) // steps_per_epoch
+    # mid-epoch preemption checkpoints resume inside the epoch instead of
+    # replaying it (which would overshoot epochs*steps_per_epoch and run
+    # the lr schedule past its end)
+    resume_skip = int(state.step) % steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         meters = {k: 0.0 for k in ("loss", "vis_loss", "mask_loss", "kl_loss", "p_loss")}
         t0 = time.time()
         order = data_rng.permutation(len(dataset))
         n_steps = 0
-        for imgs in Prefetcher(epoch_batches(order), buffer_size=2):
+        skip = resume_skip if epoch == start_epoch else 0
+        for imgs in Prefetcher(epoch_batches(order, skip), buffer_size=2):
             batch = shard_batch(mesh, {"x": jnp.asarray(imgs)})
             state, metrics = step_fn(state, batch, rng)
             for k in meters:

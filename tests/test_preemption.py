@@ -89,3 +89,48 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+@pytest.mark.timeout(600)
+def test_vmae_in_dir_checkpoint_beats_resume(tmp_path):
+    """A checkpoint in the stage's own output_dir (e.g. from a preemption)
+    must win over the --resume warm start on relaunch — otherwise a
+    preempted stage 3 restarts from stage 1's checkpoint-90 and loses all
+    its progress."""
+    from PIL import Image
+
+    root = tmp_path / "imgs" / "c0"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        ).save(root / f"{i}.png")
+    base = [
+        sys.executable, "-m", "ldmae_tpu.cli.train_vmae",
+        "--model", "mae_for_ldmae_f8d16_small",
+        "--data_path", str(tmp_path / "imgs"),
+        "--input_size", "32", "--batch_size", "2",
+        "--warmup_epochs", "0", "--save_epochs", "1",
+        "--steps_per_epoch", "2", "--mask_ratio", "0.25",
+        "--no_cls", "--smooth_output",
+    ]
+    stage1 = tmp_path / "s1"
+    r = subprocess.run(base + ["--output_dir", str(stage1), "--epochs", "1"],
+                       env=ENV, cwd=REPO, capture_output=True, text=True,
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    stage3 = tmp_path / "s3"
+    s3 = base + ["--output_dir", str(stage3), "--tune_decoder",
+                 "--resume", str(stage1 / "checkpoints" / "checkpoint-0")]
+    r = subprocess.run(s3 + ["--epochs", "1"], env=ENV, cwd=REPO,
+                       capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "resumed weights from Orbax checkpoint" in r.stdout
+
+    # relaunch (as after a preemption): the stage-3 checkpoint wins
+    r = subprocess.run(s3 + ["--epochs", "2"], env=ENV, cwd=REPO,
+                       capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "overrides --resume warm start" in r.stdout
