@@ -48,6 +48,20 @@ def main():
     parser.add_argument("--fsdp", type=int, default=1)
     parser.add_argument("--tp", type=int, default=1)
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="capture a jax.profiler trace (TensorBoard/Perfetto) into this "
+        "directory around --profile_steps steps (SURVEY §5.1: the reference "
+        "has only wall-clock timing; this is the TPU-native equivalent)",
+    )
+    parser.add_argument("--profile_start", type=int, default=10,
+                        help="optimizer step at which the trace starts")
+    parser.add_argument("--profile_steps", type=int, default=5,
+                        help="number of steps to trace")
+    parser.add_argument(
+        "--peak_tflops", type=float, default=197.0,
+        help="per-chip peak bf16 TFLOP/s for the live MFU log (197 = v5e)",
+    )
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
@@ -206,6 +220,13 @@ def main():
     # the host and serialise batch prep against device compute.
     pending_losses, log_steps = [], 0
     train_steps = int(state.step)
+    # live MFU accounting (PERF.md convention: useful FLOPs = fwd + ~2x bwd
+    # of the *forward* count; remat recompute is not useful work)
+    from ..utils.profiling import dit_forward_flops, trace as profiler_trace
+
+    step_useful_flops = 3 * dit_forward_flops(spec, config.train.global_batch_size)
+    chip_peak = args.peak_tflops * 1e12 * jax.device_count()
+    profile_ctx = None
     start = time.time()
     logger.info(f"training for {config.train.max_steps} steps "
                 f"(global_batch={config.train.global_batch_size}, accum={accum})")
@@ -239,21 +260,36 @@ def main():
             "y": host["y"].reshape(accum, micro_local),
         }
         batch = shard_batch(mesh, batch, axis=1)
+        if args.profile_dir and train_steps == args.profile_start:
+            jax.block_until_ready(state.params)
+            profile_ctx = profiler_trace(args.profile_dir)
+            profile_ctx.__enter__()
+            logger.info(f"profiler trace started -> {args.profile_dir}")
         state, metrics = step_jit(state, batch, rng)
         pending_losses.append(metrics["loss"])
         log_steps += 1
         train_steps += 1
+        if profile_ctx is not None and (
+            train_steps >= args.profile_start + args.profile_steps
+        ):
+            jax.block_until_ready(metrics["loss"])
+            profile_ctx.__exit__(None, None, None)
+            profile_ctx = None
+            logger.info(f"profiler trace written to {args.profile_dir}")
 
         if train_steps % config.train.log_every == 0:
             jax.block_until_ready(pending_losses[-1])
             dt = time.time() - start
             avg_loss = float(jnp.mean(jnp.stack(pending_losses)))
+            tfs = step_useful_flops * log_steps / dt / 1e12
             logger.info(
                 f"(step={train_steps:07d}) Train Loss: {avg_loss:.4f}, "
-                f"Train Steps/Sec: {log_steps / dt:.2f}"
+                f"Train Steps/Sec: {log_steps / dt:.2f}, "
+                f"TFLOP/s: {tfs:.1f} ({tfs * 1e12 / chip_peak * 100:.0f}% MFU)"
             )
             if writer is not None:
                 writer.add_scalar("Loss/train", avg_loss, train_steps)
+                writer.add_scalar("Perf/mfu", tfs * 1e12 / chip_peak, train_steps)
             pending_losses, log_steps = [], 0
             start = time.time()
 
@@ -279,6 +315,8 @@ def main():
                 if writer is not None:
                     writer.add_scalar("Loss/validation", val_loss, train_steps)
 
+    if profile_ctx is not None:  # max_steps ended inside the trace window
+        profile_ctx.__exit__(None, None, None)
     path = save_checkpoint(exp_dir, state, config=config.to_dict())
     logger.info(f"Saved final checkpoint to {path}")
 

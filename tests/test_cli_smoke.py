@@ -216,6 +216,48 @@ class TestTrainDiTCLI:
         assert r.returncode == 0, r.stderr[-3000:]
         assert "resumed from step 3" in (tmp_path / "out" / "smoke" / "log.txt").read_text()
 
+    def test_profile_trace_and_mfu_log(self, tmp_path):
+        import yaml
+        from safetensors.numpy import save_file
+
+        ldir = tmp_path / "latents"
+        ldir.mkdir()
+        rng = np.random.default_rng(0)
+        save_file(
+            {
+                "latents": rng.standard_normal((16, 16, 8, 8)).astype(np.float32),
+                "latents_flip": rng.standard_normal((16, 16, 8, 8)).astype(np.float32),
+                "labels": rng.integers(0, 4, 16).astype(np.int64),
+            },
+            str(ldir / "latents_rank00_shard000.safetensors"),
+        )
+        cfg = {
+            "data": {"data_path": str(ldir), "image_size": 64, "num_classes": 4,
+                     "latent_norm": True, "sample": False},
+            "vae": {"downsample_ratio": 8, "weight_path": ""},
+            "model": {"model_type": "LightningDiT-debug", "in_chans": 16},
+            "train": {"max_steps": 3, "global_batch_size": 4,
+                      "output_dir": str(tmp_path / "out"), "exp_name": "prof",
+                      "log_every": 1, "ckpt_every": 100,
+                      "gradient_accumulation_steps": 1},
+        }
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        trace_dir = tmp_path / "trace"
+        cmd = [
+            sys.executable, "-m", "ldmae_tpu.cli.train_dit", "--config", str(p),
+            "--profile_dir", str(trace_dir),
+            "--profile_start", "1", "--profile_steps", "1",
+        ]
+        r = subprocess.run(cmd, env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        log = (tmp_path / "out" / "prof" / "log.txt").read_text()
+        assert "% MFU" in log
+        assert "profiler trace written" in log
+        # jax.profiler writes plugins/profile/<ts>/*.xplane.pb under the dir
+        found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+        assert any(f.endswith(".xplane.pb") for f in found), found
+
 
 class TestWarmStartHalfRope:
     def test_warm_start_precedes_half_permutation(self, tmp_path):
