@@ -75,6 +75,14 @@ def get_args_parser():
     p.add_argument("--steps_per_epoch", type=int, default=None,
                    help="override for small datasets / smoke runs")
     p.add_argument("--dp", type=int, default=-1)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace into this directory "
+                        "around --profile_steps steps (SURVEY §5.1)")
+    p.add_argument("--profile_start", type=int, default=10,
+                   help="step (within this run) at which the trace starts")
+    p.add_argument("--profile_steps", type=int, default=5)
+    p.add_argument("--peak_tflops", type=float, default=197.0,
+                   help="per-chip peak bf16 TFLOP/s for MFU logs (197 = v5e)")
     return p
 
 
@@ -331,6 +339,18 @@ def main(args):
         except ValueError:
             pass
 
+    # useful-FLOP accounting for the epoch MFU log (PERF.md convention:
+    # fwd + ~2x bwd of the forward count; LPIPS/VGG FLOPs uncounted, so
+    # stage-1/3 MFU with --use_lpips is a slight underestimate)
+    from ..utils.profiling import trace as profiler_trace, vmae_forward_flops
+
+    step_flops = 3 * vmae_forward_flops(
+        spec, per_step, mask_ratio=0.0 if args.tune_decoder else args.mask_ratio
+    )
+    chip_peak = args.peak_tflops * 1e12 * n_dev
+    profile_ctx = None
+    run_steps = 0
+
     start_epoch = int(state.step) // steps_per_epoch
     # mid-epoch preemption checkpoints resume inside the epoch instead of
     # replaying it (which would overshoot epochs*steps_per_epoch and run
@@ -343,18 +363,40 @@ def main(args):
         n_steps = 0
         skip = resume_skip if epoch == start_epoch else 0
         for imgs in Prefetcher(epoch_batches(order, skip), buffer_size=2):
+            if args.profile_dir and run_steps == args.profile_start:
+                jax.block_until_ready(state.params)
+                profile_ctx = profiler_trace(args.profile_dir)
+                profile_ctx.__enter__()
+                print(f"profiler trace started -> {args.profile_dir}")
             batch = shard_batch(mesh, {"x": jnp.asarray(imgs)})
             state, metrics = step_fn(state, batch, rng)
+            run_steps += 1
+            if profile_ctx is not None and (
+                run_steps >= args.profile_start + args.profile_steps
+            ):
+                jax.block_until_ready(metrics["loss"])
+                profile_ctx.__exit__(None, None, None)
+                profile_ctx = None
+                print(f"profiler trace written to {args.profile_dir}")
+            # one transfer for all scalars (a float() per meter is a device
+            # round-trip each — expensive over a remote-chip tunnel)
+            host_metrics = jax.device_get(metrics)
             for k in meters:
-                meters[k] += float(metrics[k])
+                meters[k] += float(host_metrics[k])
             n_steps += 1
-            if not bool(metrics["loss_finite"]):
+            if not bool(host_metrics["loss_finite"]):
                 print(f"WARNING: non-finite loss at step {int(state.step)} (update skipped)")
             if stop_signal:
+                if profile_ctx is not None:
+                    profile_ctx.__exit__(None, None, None)
                 path = save_checkpoint(args.output_dir, state, config=vars(args))
                 print(f"received signal {stop_signal[0]}; saved preemption "
                       f"checkpoint {path}")
                 return
+        if profile_ctx is not None:  # epoch ended inside the trace window
+            profile_ctx.__exit__(None, None, None)
+            profile_ctx = None
+            print(f"profiler trace written to {args.profile_dir}")
 
         stats = {k: v / n_steps for k, v in meters.items()}
         # the reference's lr meter (engine_pretrain.py:95-105 logs it to TB
@@ -366,6 +408,8 @@ def main(args):
                           args.fixed_lr)
         stats["lr"] = float(lr_fn(jnp.asarray(epoch + 0.5)))
         stats.update(epoch=epoch, time=time.time() - t0)
+        stats["img_per_sec"] = n_steps * per_step / stats["time"]
+        stats["mfu"] = step_flops * n_steps / stats["time"] / chip_peak
         if writer is not None:
             x = int((epoch + 1) * 1000)  # epoch_1000x axis
             for name, tb in [("loss", "train_loss"), ("vis_loss", "vis_loss"),

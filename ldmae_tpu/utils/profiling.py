@@ -52,3 +52,35 @@ def dit_forward_flops(spec, batch: int, with_cfg: bool = False) -> float:
     embed = 2 * n * spec.patch_size**2 * spec.in_channels * d
     total = (matmul_flops + attn_flops + adaln_flops + embed) * batch
     return total * (2 if with_cfg else 1)
+
+
+def _vit_stack_flops(n: int, d: int, depth: int, mlp_ratio: float) -> float:
+    """Matmul + attention FLOPs of `depth` standard pre-LN ViT blocks on
+    `n` tokens of width `d` (qkv+proj = 4d², MLP = 2·d·(d·mlp_ratio))."""
+    per_layer_params = 4 * d * d + 2 * d * int(d * mlp_ratio)
+    return depth * (2 * n * per_layer_params + 4 * n * n * d)
+
+
+def vmae_forward_flops(spec, batch: int, mask_ratio: float = 0.0) -> float:
+    """Analytic FLOPs of one VMAE forward (encoder on visible tokens +
+    decoder on the full grid) for MFU accounting. Matches the reference
+    architecture (models_mae.py:283-408): encoder keeps
+    ``L·(1-mask_ratio)`` tokens, the decoder always runs all ``L``."""
+    L = spec.num_patches
+    n_vis = int(L * (1 - mask_ratio)) + spec.num_extra_tokens
+    enc = _vit_stack_flops(n_vis, spec.embed_dim, spec.depth, spec.mlp_ratio)
+    dec = _vit_stack_flops(
+        L + spec.num_extra_tokens,
+        spec.decoder_embed_dim,
+        spec.decoder_depth,
+        spec.mlp_ratio,
+    )
+    p2c = spec.patch_size**2 * spec.in_chans
+    heads = (
+        2 * L * p2c * spec.embed_dim  # patch embed
+        + 2 * n_vis * spec.embed_dim * spec.encoder_latent_dim  # to_latent
+        + 2 * L * spec.latent_dim * spec.embed_dim  # from_latent
+        + 2 * L * spec.embed_dim * spec.decoder_embed_dim  # decoder_embed
+        + 2 * L * spec.decoder_embed_dim * p2c  # decoder_pred
+    )
+    return (enc + dec + heads) * batch

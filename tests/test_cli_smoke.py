@@ -49,6 +49,8 @@ class TestTrainVMAECLI:
             "--mask_ratio", "0.25",
             "--no_cls", "--smooth_output",
             "--kl_loss_weight", "1e-6",
+            "--profile_dir", str(tmp_path / "trace"),
+            "--profile_start", "1", "--profile_steps", "1",
         ]
         env = dict(ENV)
         r = subprocess.run(
@@ -59,8 +61,12 @@ class TestTrainVMAECLI:
         assert len(log) == 2  # one JSON line per epoch
         rec = json.loads(log[-1])
         assert "train_loss" in rec and np.isfinite(rec["train_loss"])
+        assert rec["train_img_per_sec"] > 0 and rec["train_mfu"] > 0
         # checkpoint written
         assert (out / "checkpoints").is_dir()
+        # jax.profiler trace captured
+        found = [f for _, _, fs in os.walk(tmp_path / "trace") for f in fs]
+        assert any(f.endswith(".xplane.pb") for f in found), found
 
 
 if __name__ == "__main__":
