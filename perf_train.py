@@ -11,7 +11,7 @@ from ldmae_tpu.transport import create_transport
 from ldmae_tpu.utils.profiling import dit_forward_flops
 
 def run(batch, attn, rope_layout="interleaved", remat="full", use_checkpoint=True,
-        adaln="xla"):
+        adaln="xla", merged_w12=False):
     spec = dit_spec("LightningDiT-B/1", input_size=32, in_channels=16,
                     num_classes=1000, use_qknorm=True, use_swiglu=True,
                     use_rope=True, use_rmsnorm=True,
@@ -24,6 +24,10 @@ def run(batch, attn, rope_layout="interleaved", remat="full", use_checkpoint=Tru
         from ldmae_tpu.models.lightningdit import permute_qk_for_half_rope
 
         params = permute_qk_for_half_rope(params, spec)
+    if merged_w12:
+        from ldmae_tpu.models.lightningdit import merge_swiglu
+
+        params = merge_swiglu(params, spec)
     step = jax.jit(make_train_step(spec, consts, transport, tx,
                                    compute_dtype=jnp.bfloat16, attn_impl=attn,
                                    rope_layout=rope_layout, adaln_impl=adaln),
@@ -63,6 +67,13 @@ if __name__ == "__main__":
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
         for impl in ("xla", "fused"):
             run(batch, "flash_rope", rope_layout="half", adaln=impl)
+    elif len(sys.argv) > 1 and sys.argv[1] == "w12":
+        # merged-w12 SwiGLU layout for TRAINING (autodiff provides the
+        # backward; layout-only change, same math)
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+        for merged in (False, True):
+            run(batch, "flash_rope", rope_layout="half", remat="attn",
+                adaln="fused", merged_w12=merged)
     elif len(sys.argv) > 1 and sys.argv[1] == "remat":
         # remat-policy sweep at the production config (flash_rope + half)
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
