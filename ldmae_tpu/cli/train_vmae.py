@@ -86,6 +86,18 @@ def get_args_parser():
     return p
 
 
+def local_batch_indices(order, step, per_step, process_index, process_count):
+    """This process's slice of global batch ``step``: the global batch is
+    ``order[step·per_step:][:per_step]`` (wrapping), split contiguously
+    across processes — concatenating all processes' slices reconstructs
+    exactly the global batch ``shard_batch`` expects to assemble."""
+    idx = order[(step * per_step) % len(order):][:per_step]
+    if len(idx) < per_step:
+        idx = np.concatenate([idx, order[: per_step - len(idx)]])
+    local_bs = per_step // process_count
+    return idx[process_index * local_bs:(process_index + 1) * local_bs]
+
+
 def main(args):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -280,14 +292,16 @@ def main(args):
     log_path = os.path.join(args.output_dir, "log.txt")
 
     # TensorBoard scalars at the reference's epoch_1000x x-axis
-    # (engine_pretrain.py:90-105)
+    # (engine_pretrain.py:90-105); rank-0 only like the reference's
+    # SummaryWriter/log.txt gating (main_pretrain.py:204-206, 291-297)
     writer = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    if jax.process_index() == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
 
-        writer = SummaryWriter(os.path.join(args.output_dir, "tensorboard"))
-    except ImportError:
-        pass
+            writer = SummaryWriter(os.path.join(args.output_dir, "tensorboard"))
+        except ImportError:
+            pass
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -312,10 +326,14 @@ def main(args):
         # a hop and a memory spike; multi-process needs
         # make_array_from_process_local_data on host data)
         pre_put = jax.process_count() == 1 and jax.local_device_count() == 1
+        # each process loads ONLY ITS SLICE of the global batch —
+        # shard_batch's multiprocess path assembles the global array from
+        # per-process shards (parallel/mesh.py:56-61); loading the full
+        # batch everywhere would double it with duplicated rows
         for s in range(skip_steps, steps_per_epoch):
-            idx = order[(s * per_step) % len(order):][:per_step]
-            if len(idx) < per_step:
-                idx = np.concatenate([idx, order[: per_step - len(idx)]])
+            idx = local_batch_indices(
+                order, s, per_step, jax.process_index(), jax.process_count()
+            )
             batch = np.stack(list(pool.map(load_one, idx)))
             yield jnp.asarray(batch) if pre_put else batch
 
@@ -416,9 +434,10 @@ def main(args):
                              ("mask_loss", "mask_loss"), ("kl_loss", "kl_loss"),
                              ("p_loss", "p_loss"), ("lr", "lr")]:
                 writer.add_scalar(tb, stats[name], x)
-        print(json.dumps({f"train_{k}": v for k, v in stats.items()}))
-        with open(log_path, "a") as f:
-            f.write(json.dumps({f"train_{k}": v for k, v in stats.items()}) + "\n")
+        if jax.process_index() == 0:
+            print(json.dumps({f"train_{k}": v for k, v in stats.items()}))
+            with open(log_path, "a") as f:
+                f.write(json.dumps({f"train_{k}": v for k, v in stats.items()}) + "\n")
 
         # reference cadence (main_pretrain.py:286): epochs 0, S, 2S, ...
         # plus the final epoch — train_ae.sh's stage-3 handoff depends on

@@ -136,6 +136,105 @@ def _single_process_dit_loss() -> float:
     return float(metrics["loss"])
 
 
+def test_local_batch_indices_partition():
+    """Concatenating every process's slice reconstructs exactly the global
+    batch (incl. the wrap-around case) — pins the fix for each process
+    loading the FULL global batch (which shard_batch's multiprocess path
+    would assemble into a doubled, duplicated global array)."""
+    from ldmae_tpu.cli.train_vmae import local_batch_indices
+
+    order = np.random.default_rng(0).permutation(10)
+    for step, per_step, P_ in [(0, 4, 2), (1, 4, 2), (2, 4, 4), (3, 6, 2)]:
+        slices = [
+            local_batch_indices(order, step, per_step, pi, P_) for pi in range(P_)
+        ]
+        assert all(len(s) == per_step // P_ for s in slices)
+        # the global batch the reference semantics define (wrapping reuse)
+        g = order[(step * per_step) % len(order):][:per_step]
+        if len(g) < per_step:
+            g = np.concatenate([g, order[: per_step - len(g)]])
+        np.testing.assert_array_equal(np.concatenate(slices), g)
+    # single process: the slice IS the global batch
+    np.testing.assert_array_equal(
+        local_batch_indices(order, 1, 4, 0, 1), order[4:8]
+    )
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("mp_imgs")
+    rng = np.random.default_rng(0)
+    for ci in range(2):
+        d = root / f"c{ci}"
+        d.mkdir()
+        for i in range(8):
+            Image.fromarray(
+                rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+            ).save(d / f"{i}.png")
+    return str(root)
+
+
+@pytest.mark.timeout(600)
+def test_two_process_vmae_cli(image_folder, tmp_path):
+    """The VMAE trainer CLI end-to-end over 2 real processes (1 CPU device
+    each): rendezvous, per-process batch slices, shard_batch assembly, one
+    epoch, rank-0 log/checkpoint."""
+    port = _free_port()
+    out = tmp_path / "vmae_mp"
+    procs = []
+    for rank in range(2):
+        env = dict(
+            os.environ,
+            RANK=str(rank),
+            WORLD_SIZE="2",
+            MASTER_ADDR="127.0.0.1",
+            MASTER_PORT=str(port),
+            PYTHONPATH=REPO,
+            LDMAE_PLATFORM="cpu",
+            XLA_FLAGS="",  # 1 CPU device per process
+        )
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "ldmae_tpu.cli.train_vmae",
+                    "--model", "mae_for_ldmae_f8d16_small",
+                    "--data_path", image_folder,
+                    "--output_dir", str(out),
+                    "--input_size", "32",
+                    "--batch_size", "2",
+                    "--epochs", "1",
+                    "--warmup_epochs", "1",
+                    "--save_epochs", "1",
+                    "--steps_per_epoch", "2",
+                    "--mask_ratio", "0.25",
+                    "--no_cls",
+                    "--kl_loss_weight", "1e-6",
+                ],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    for rank, p in enumerate(procs):
+        try:
+            _, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-4000:]}"
+    import json
+
+    rec = json.loads((out / "log.txt").read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"])
+    assert (out / "checkpoints").is_dir()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
 
