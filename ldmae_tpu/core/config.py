@@ -73,6 +73,8 @@ class ModelConfig:
     # remat granularity: 'full' (min HBM) | 'dots' (save matmul/attention
     # outputs; backward recomputes only elementwise ops)
     remat_policy: str = "full"
+    # block-scan unroll factor (1 = rolled; depth = fully unrolled)
+    scan_unroll: int = 1
 
 
 @dataclass

@@ -70,6 +70,10 @@ class DiTSpec:
     #   'dots'  — save all matmul outputs too; the backward only recomputes
     #             cheap elementwise ops (largest HBM footprint)
     remat_policy: str = "full"
+    # lax.scan unroll factor for the block loop (1 = rolled). Unrolling
+    # constant-folds the per-layer dynamic-slice of the stacked params and
+    # lets XLA schedule across block boundaries, at higher compile time.
+    scan_unroll: int = 1
 
     @property
     def out_channels(self) -> int:
@@ -580,7 +584,9 @@ def dit_forward(
     def scan_body(carry, bp):
         return block_fn(carry, c_mod, bp), None
 
-    tokens, _ = jax.lax.scan(scan_body, tokens, params["blocks"])
+    tokens, _ = jax.lax.scan(
+        scan_body, tokens, params["blocks"], unroll=spec.scan_unroll
+    )
 
     # final layer (lightningdit.py:267-272): chunk(2) -> (shift, scale)
     fl = params["final_layer"]

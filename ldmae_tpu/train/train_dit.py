@@ -154,6 +154,7 @@ def build_from_config(config: LDMAEConfig, key: jax.Array):
         wo_shift=m.wo_shift,
         use_checkpoint=config.train.use_checkpoint or m.use_checkpoint,
         remat_policy=getattr(m, "remat_policy", "full"),
+        scan_unroll=getattr(m, "scan_unroll", 1),
     )
     consts = DiTConsts(spec)
     params = init_dit_params(key, spec)

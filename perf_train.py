@@ -11,11 +11,12 @@ from ldmae_tpu.transport import create_transport
 from ldmae_tpu.utils.profiling import dit_forward_flops
 
 def run(batch, attn, rope_layout="interleaved", remat="full", use_checkpoint=True,
-        adaln="xla", merged_w12=False):
+        adaln="xla", merged_w12=False, unroll=1):
     spec = dit_spec("LightningDiT-B/1", input_size=32, in_channels=16,
                     num_classes=1000, use_qknorm=True, use_swiglu=True,
                     use_rope=True, use_rmsnorm=True,
-                    use_checkpoint=use_checkpoint, remat_policy=remat)
+                    use_checkpoint=use_checkpoint, remat_policy=remat,
+                    scan_unroll=unroll)
     consts = DiTConsts(spec)
     params = init_dit_params(jax.random.key(0), spec)
     transport = create_transport("Linear", "velocity", use_lognorm=True)
@@ -67,6 +68,14 @@ if __name__ == "__main__":
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
         for impl in ("xla", "fused"):
             run(batch, "flash_rope", rope_layout="half", adaln=impl)
+    elif len(sys.argv) > 1 and sys.argv[1] == "unroll":
+        # block-scan unroll sweep: unrolling constant-folds the per-layer
+        # dynamic-slices and scan-carry copies the trace shows at ~20% of
+        # step time (PERF.md round-3 trace breakdown)
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+        for unroll in (1, 3, 12):
+            run(batch, "flash_rope", rope_layout="half", remat="attn",
+                adaln="fused", unroll=unroll)
     elif len(sys.argv) > 1 and sys.argv[1] == "w12":
         # merged-w12 SwiGLU layout for TRAINING (autodiff provides the
         # backward; layout-only change, same math)

@@ -239,6 +239,35 @@ class TestRemat:
         )
         assert max(jax.tree_util.tree_leaves(diff)) < 1e-5
 
+    def test_scan_unroll_matches_rolled(self):
+        """scan_unroll (block-loop unrolling) is a scheduling knob only —
+        the train step must be numerically identical to the rolled scan."""
+        from ldmae_tpu.models.lightningdit import DiTConsts, DiTSpec, init_dit_params
+
+        base = dict(
+            input_size=8, patch_size=1, in_channels=4, hidden_size=64, depth=2,
+            num_heads=4, num_classes=8, use_qknorm=True, use_swiglu=True,
+            use_rope=True, use_rmsnorm=True, use_checkpoint=True,
+            remat_policy="attn",
+        )
+        params = init_dit_params(jax.random.key(0), DiTSpec(**base))
+        transport = create_transport("Linear", "velocity", use_lognorm=False)
+        tx = make_optimizer(1e-3, 0.95)
+        batch = fake_batch(jax.random.key(0), 16, DiTSpec(**base))
+        rng = jax.random.key(5)
+        outs = []
+        for unroll in (1, 2):
+            spec = DiTSpec(**base, scan_unroll=unroll)
+            consts = DiTConsts(spec)
+            step = jax.jit(make_train_step(spec, consts, transport, tx, compute_dtype=jnp.float32))
+            s, m = step(init_train_state(params, tx), batch, rng)
+            outs.append((float(m["loss"]), s.params))
+        np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), outs[0][1], outs[1][1]
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) < 1e-5
+
     def test_remat_dots_policy_matches_full(self):
         """remat_policy='dots' (save matmul/attn outputs) must produce the
         exact same step as the default full-recompute remat."""
