@@ -197,11 +197,20 @@ class Transport:
             if self.use_cosine_loss:
                 # cosine similarity along dim=1 (channels), like torch's
                 # cosine_similarity(out, ut, dim=1)
+                # safe norms: sqrt(max(sumsq, tiny)) so the gradient at an
+                # all-zero vector is 0 instead of NaN (the DiT final layer
+                # is zero-init, so step-1 output is exactly 0; torch's
+                # cosine_similarity clamp has the same non-differentiability
+                # but the reference ships use_cosine_loss: false). Forward
+                # is unchanged: sqrt(tiny)=1e-15 is far below the 1e-8 clamp.
                 num = jnp.sum(out_f32 * ut_f32, axis=1)
-                den = jnp.linalg.norm(out_f32, axis=1) * jnp.linalg.norm(
-                    ut_f32, axis=1
+                norm_out = jnp.sqrt(
+                    jnp.maximum(jnp.sum(out_f32 * out_f32, axis=1), 1e-30)
                 )
-                cos = num / jnp.maximum(den, 1e-8)
+                norm_ut = jnp.sqrt(
+                    jnp.maximum(jnp.sum(ut_f32 * ut_f32, axis=1), 1e-30)
+                )
+                cos = num / jnp.maximum(norm_out * norm_ut, 1e-8)
                 terms["cos_loss"] = mean_flat(1 - cos)
         else:
             _, drift_var = self.path_sampler.compute_drift(xt, t)

@@ -130,6 +130,29 @@ class TestTransport:
         assert "cos_loss" in terms
         assert np.all(np.isfinite(np.asarray(terms["cos_loss"])))
 
+    def test_cosine_loss_grad_finite_at_zero_output(self):
+        """The DiT final layer is zero-init, so step-1 model output is exactly
+        0. cos_loss's gradient must be finite there (regression: the norm's
+        gradient at a zero vector was NaN, poisoning the first update)."""
+        t = create_transport("Linear", "velocity", use_cosine_loss=True)
+        x1 = jax.random.normal(jax.random.key(4), (8, 4, 4, 4))
+
+        def total_loss(w):
+            def model_fn(xt, tt):
+                return w * xt  # w=0 -> all-zero output, like zero-init
+
+            terms = t.training_losses(model_fn, jax.random.key(5), x1)
+            return jnp.mean(terms["loss"]) + jnp.mean(terms["cos_loss"])
+
+        g = jax.grad(total_loss)(0.0)
+        assert np.isfinite(float(g))
+        # and the cos value itself is the torch-clamp convention: cos(0,ut)=0
+        def model_fn(xt, tt):
+            return jnp.zeros_like(xt)
+
+        terms = t.training_losses(model_fn, jax.random.key(5), x1)
+        np.testing.assert_allclose(np.asarray(terms["cos_loss"]), 1.0, atol=1e-6)
+
 
 class TestSamplers:
     def test_time_grid_shift(self):
