@@ -212,6 +212,12 @@ class TestTrainDiTCLI:
         assert r.returncode == 0, r.stderr[-3000:]
         log = (tmp_path / "out" / "smoke" / "log.txt").read_text()
         assert "Train Loss" in log
+        # every logged loss must be finite (a NaN here once slipped through
+        # because only the presence of the log line was checked)
+        import re
+
+        losses = re.findall(r"Train Loss: ([^,]+),", log)
+        assert losses and all(np.isfinite(float(v)) for v in losses), losses
         ckpts = os.listdir(tmp_path / "out" / "smoke" / "checkpoints")
         assert any(c == "0000003" for c in ckpts), ckpts
 
