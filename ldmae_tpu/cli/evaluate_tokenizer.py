@@ -135,20 +135,31 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     import time
 
     def _prune_rank_files(d, keep):
-        """Remove this rank's stale files beyond the current budget — a
-        previous larger-limit run would otherwise leave extra PNGs that
-        silently pollute the folder rFID."""
+        """Remove stale PNGs that would silently pollute the folder rFID:
+        this rank's files beyond the current budget (a previous larger-limit
+        run), plus — on rank 0 — files from ranks >= the current world size
+        (a previous larger-world run) and old un-ranked `*_{idx}.png` names
+        from before the rank-sharded naming."""
         removed = 0
         for f in os.listdir(d):
-            if f"_rank_{rank}_" not in f:
+            if not f.endswith(".png"):
                 continue
-            try:
-                i = int(f.rsplit("_", 1)[-1].split(".")[0])
-            except ValueError:
-                continue
-            if i >= keep:
-                os.remove(os.path.join(d, f))
-                removed += 1
+            stem = f[:-4]
+            if "_rank_" in stem:
+                try:
+                    r = int(stem.split("_rank_")[1].split("_")[0])
+                    i = int(stem.rsplit("_", 1)[-1])
+                except (ValueError, IndexError):
+                    continue
+                stale = (r == rank and i >= keep) or (r >= world and rank == 0)
+            else:
+                stale = rank == 0 and stem.rsplit("_", 1)[-1].isdigit()
+            if stale:
+                try:
+                    os.remove(os.path.join(d, f))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
         if removed:
             print(f"[rank {rank}] pruned {removed} stale files in {d}")
 

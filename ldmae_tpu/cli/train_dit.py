@@ -294,6 +294,9 @@ def main():
             start = time.time()
 
         if stop_signal:
+            if profile_ctx is not None:  # close + flush an in-flight trace
+                profile_ctx.__exit__(None, None, None)
+                profile_ctx = None
             logger.info(
                 f"received signal {stop_signal[0]}; saving preemption "
                 f"checkpoint at step {train_steps}"

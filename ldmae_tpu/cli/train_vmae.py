@@ -244,7 +244,10 @@ def main(args):
     print(f"actual lr: {lr:.2e}  effective batch size: {eff_batch}")
 
     dataset = ImageFolderDataset(args.data_path, args.input_size)
-    per_step = args.batch_size * n_dev
+    # one optimizer step consumes accum_iter micro-batches of batch_size/dev
+    # (engine_pretrain.py:72-76) — per_step counts ALL of them, so the lr
+    # above is scaled for the batch that actually hits each update
+    per_step = args.batch_size * args.accum_iter * n_dev
     steps_per_epoch = args.steps_per_epoch or max(len(dataset) // per_step, 1)
 
     tx = make_vmae_optimizer(
@@ -273,6 +276,7 @@ def main(args):
             perceptual_loss_fn=perceptual,
             compute_dtype=jnp.bfloat16,
             gradual=gradual,
+            grad_accum=args.accum_iter,
         ),
         donate_argnums=(0,),
     )
@@ -386,7 +390,14 @@ def main(args):
                 profile_ctx = profiler_trace(args.profile_dir)
                 profile_ctx.__enter__()
                 print(f"profiler trace started -> {args.profile_dir}")
-            batch = shard_batch(mesh, {"x": jnp.asarray(imgs)})
+            imgs = jnp.asarray(imgs)
+            if args.accum_iter > 1:
+                # (A·m, H, W, C) -> (A, m, ...): micro-batches scanned inside
+                # the step; batch dim (axis 1) sharded over the mesh
+                imgs = imgs.reshape(args.accum_iter, -1, *imgs.shape[1:])
+                batch = shard_batch(mesh, {"x": imgs}, axis=1)
+            else:
+                batch = shard_batch(mesh, {"x": imgs})
             state, metrics = step_fn(state, batch, rng)
             run_steps += 1
             if profile_ctx is not None and (
@@ -447,11 +458,18 @@ def main(args):
             # epoch alias mirroring the reference's checkpoint-{epoch}.pth
             # naming (misc.py:468-485) — train_ae.sh hands checkpoint-90 to
             # stage 3 by this name
-            alias = os.path.join(os.path.dirname(path), f"checkpoint-{epoch}")
-            if os.path.islink(alias):
-                os.unlink(alias)
-            if not os.path.exists(alias):
-                os.symlink(os.path.basename(path), alias)
+            # rank-0 only (like the log.txt/TB writes): every process runs
+            # the collective Orbax save above, but a shared filesystem makes
+            # the exists-check -> symlink window a cross-rank race
+            if jax.process_index() == 0:
+                alias = os.path.join(os.path.dirname(path), f"checkpoint-{epoch}")
+                if os.path.islink(alias):
+                    os.unlink(alias)
+                try:
+                    if not os.path.exists(alias):
+                        os.symlink(os.path.basename(path), alias)
+                except FileExistsError:
+                    pass
             print(f"saved checkpoint {path} (checkpoint-{epoch})")
 
 

@@ -121,12 +121,17 @@ def make_vmae_train_step(
     compute_dtype=jnp.float32,
     attn_impl: str = "xla",
     gradual=None,
+    grad_accum: int = 1,
 ):
     """Train step (no EMA — the reference VMAE trainer keeps none).
 
     gradual: optional (downsample_after, upsample_after) — routes stage 1
     through the gradual_resol forward (main_pretrain.py --gradual_resol;
     params from vmae_variants.init_gradual_params).
+    grad_accum: micro-batch gradient accumulation via lax.scan, matching the
+    reference's --accum_iter semantics (engine_pretrain.py:72-76: backward
+    each micro-batch, step once per accum_iter with loss/accum scaling).
+    batch["x"] is (A, m, H, W, 3) when grad_accum > 1; flat (B, ...) for 1.
     Returns (state, metrics) with the reference's meter set
     (loss/vis/mask/kl/p_loss — engine_pretrain.py:80-105) plus a NaN flag
     replacing the reference's hard process abort (engine_pretrain.py:68-70):
@@ -180,16 +185,41 @@ def make_vmae_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    aux_keys = ("vis_loss", "mask_loss", "kl_loss", "p_loss")
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         key = jax.random.fold_in(rng, state.step)
         x = batch["x"]
-        if x.dtype == jnp.uint8:
-            # uint8 (B, H, W, 3) pixels: 4x less host->device traffic than
-            # pre-normalized fp32; identical arithmetic on device
-            from ..data.images import normalize_uint8_images
+        if x.ndim == 4:
+            x = x[None]
+        a = x.shape[0]
+        assert a == grad_accum, (
+            f"batch leading (accumulation) dim {a} != grad_accum={grad_accum}"
+        )
+        keys = jax.random.split(key, a)
 
-            x = normalize_uint8_images(x)
-        (loss, aux), grads = grad_fn(state.params, x, key)
+        def micro(carry, inp):
+            grads_acc, loss_acc, aux_acc = carry
+            xm, km = inp
+            if xm.dtype == jnp.uint8:
+                # uint8 pixels: 4x less host->device traffic than
+                # pre-normalized fp32; identical arithmetic on device
+                from ..data.images import normalize_uint8_images
+
+                xm = normalize_uint8_images(xm)
+            (l, a_), g = grad_fn(state.params, xm, km)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+            aux_acc = {k: aux_acc[k] + a_[k] for k in aux_keys}
+            return (grads_acc, loss_acc + l, aux_acc), None
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zero_aux = {k: jnp.zeros(()) for k in aux_keys}
+        (grads, loss, aux), _ = jax.lax.scan(
+            micro, (zero_grads, jnp.zeros(()), zero_aux), (x, keys)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / a, grads)
+        loss = loss / a
+        aux = {k: v / a for k, v in aux.items()}
         finite = jnp.isfinite(loss)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads

@@ -124,6 +124,67 @@ class TestStage1:
             assert k in m
 
 
+class TestGradAccum:
+    """--accum_iter now performs real micro-batch accumulation (the lr was
+    already scaled for batch·accum·world; engine_pretrain.py:72-76)."""
+
+    def test_accum2_matches_manual_average(self):
+        from ldmae_tpu.models.vmae import forward_vanilla
+        import optax
+
+        consts = VMAEConsts(SPEC)
+        params = init_vmae_params(jax.random.key(0), SPEC)
+        tx = make_vmae_optimizer(params, 5, base_lr=1e-3)
+        step = jax.jit(
+            make_vmae_train_step(SPEC, consts, tx, mask_ratio=0.25, grad_accum=2)
+        )
+        state = init_train_state(params, tx)
+        x = jax.random.normal(jax.random.key(1), (2, 4, 3, 16, 16))
+        rng = jax.random.key(7)
+        new_state, metrics = step(state, {"x": x}, rng)
+
+        # manual: same key derivation (fold_in step, split into A), grads
+        # averaged over micro-batches, one optimizer update
+        keys = jax.random.split(jax.random.fold_in(rng, state.step), 2)
+
+        def loss_fn(p, xm, km):
+            out = forward_vanilla(
+                p, SPEC, consts, xm, km,
+                mask_ratio=0.25, visible_loss_ratio=0.5,
+            )
+            return out["loss"]
+
+        g0 = jax.grad(loss_fn)(params, x[0], keys[0])
+        g1 = jax.grad(loss_fn)(params, x[1], keys[1])
+        grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g0, g1)
+        updates, _ = tx.update(grads, state.opt_state, params)
+        expected = optax.apply_updates(params, updates)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+            ),
+            new_state.params, expected,
+        )
+        expected_loss = (float(loss_fn(params, x[0], keys[0]))
+                         + float(loss_fn(params, x[1], keys[1]))) / 2.0
+        assert float(metrics["loss"]) == pytest.approx(expected_loss, rel=1e-5)
+
+    def test_flat_batch_unchanged_with_accum1(self):
+        consts = VMAEConsts(SPEC)
+        params = init_vmae_params(jax.random.key(0), SPEC)
+        tx = make_vmae_optimizer(params, 5, base_lr=1e-3)
+        step1 = jax.jit(make_vmae_train_step(SPEC, consts, tx, mask_ratio=0.25))
+        x = jax.random.normal(jax.random.key(1), (4, 3, 16, 16))
+        state = init_train_state(params, tx)
+        s_flat, m_flat = step1(state, {"x": x}, jax.random.key(2))
+        s_lead, m_lead = step1(state, {"x": x[None]}, jax.random.key(2))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            s_flat.params, s_lead.params,
+        )
+        assert float(m_flat["loss"]) == pytest.approx(float(m_lead["loss"]))
+
+
 class TestNaNSkip:
     """A non-finite loss must leave params AND opt_state untouched
     (the reference hard-exits instead, engine_pretrain.py:68-70)."""
