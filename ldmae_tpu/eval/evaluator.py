@@ -4,10 +4,12 @@ Numpy/JAX re-implementation of /root/reference/LDMAE/tools/evaluator.py (the
 OpenAI ADM TF1 evaluator) on top of the JAX InceptionV3 port:
 
   * pooled features (2048-d) → FID
-  * spatial features → sFID: the first 7 channels of the pre-aux mixed-6
-    feature map, flattened (evaluator.py:24, 614 take spatial[..., :7]).
-    Note: ADM reads these from the TF1 frozen graph; we use the equivalent
-    Mixed_6e activations of the FID Inception — same recipe, torch weights.
+  * spatial features → sFID: the first 7 channels of the TF `mixed_6/conv:0`
+    node, flattened NHWC (evaluator.py:24, 614 take spatial[..., :7]). The
+    exact node is reproduced: post-relu Mixed_6d.branch1x1 == the first 192
+    channels of the Mixed_6d block output (torch-anchored in
+    test_inception_golden.py), so sFID follows the ADM recipe exactly —
+    same tensor, same :7 channels, same flatten.
   * Inception Score over 1008-way softmax in 5000-sample splits
     (evaluator.py:194-207)
   * Precision/Recall via k-NN manifold radii (k=3) with batched pairwise
@@ -293,7 +295,7 @@ class Evaluator:
         self,
         weights_path: Optional[str] = None,
         batch_size: int = 64,
-        spatial_tap: str = "Mixed_6e",
+        spatial_tap: str = "mixed_6_conv",
     ):
         import jax
         import jax.numpy as jnp

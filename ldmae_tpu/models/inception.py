@@ -191,18 +191,21 @@ def inception_forward(
     resize_input: bool = True,
     normalize_input: bool = True,
     return_spatial: bool = False,
-    spatial_tap: str = "Mixed_6e",
+    spatial_tap: str = "mixed_6_conv",
 ) -> jnp.ndarray:
     """x: (N, H, W, 3) float32 in [0, 1] → (N, 2048) pool features.
 
-    With ``return_spatial`` also returns the ``spatial_tap`` block output
-    (default Mixed_6e, (N, 768, 17, 17)) — the pre-aux spatial features used
-    for sFID. NOTE: the ADM evaluator taps the TF1 graph's `mixed_6/conv:0`
-    tensor (evaluator.py:24,614), an intermediate this torchvision-structured
-    port does not expose; Mixed_6e is the nearest module boundary. Reported
-    sFID is therefore internally consistent (same tap both sides of the
-    Fréchet distance, 0 for identical sets) but NOT comparable to
-    ADM-published sFID numbers — see EVAL_NOTES.md for the tap study.
+    With ``return_spatial`` also returns the sFID spatial features at
+    ``spatial_tap``. The default ``"mixed_6_conv"`` is the EXACT node the ADM
+    evaluator taps — the TF1 graph's `mixed_6/conv:0`
+    (reference tools/evaluator.py:24,610-614): TF 17×17 blocks mixed_4..7 map
+    to torchvision Mixed_6b..6e, and the `conv` branch is the post-relu 1×1
+    branch, i.e. Mixed_6d.branch1x1, (N, 192, 17, 17). Because both graphs
+    concatenate that branch FIRST, it equals the first 192 channels of the
+    Mixed_6d block output (torch-anchored in test_inception_golden.py), so
+    the ADM recipe spatial[..., :7] is reproduced exactly. Any Mixed_* block
+    name is also accepted (block-boundary taps, for tap studies —
+    EVAL_NOTES.md).
     """
     x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW
     if resize_input:
@@ -223,6 +226,10 @@ def inception_forward(
         x = fn(x, params[name])
         if name == spatial_tap:
             spatial = x
+        elif name == "Mixed_6d" and spatial_tap == "mixed_6_conv":
+            # post-relu Mixed_6d.branch1x1 == first 192 channels of the
+            # block concat (branch order: [b1, b7, bd, bp])
+            spatial = x[:, :192]
     if return_spatial and spatial is None:
         raise ValueError(f"unknown spatial_tap {spatial_tap!r}")
     pooled = _adaptive_avg_pool_1(x)

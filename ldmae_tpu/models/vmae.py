@@ -303,12 +303,13 @@ def forward_encoder(
     params: Params, spec: VMAESpec, consts: VMAEConsts, imgs: jnp.ndarray,
     mask_ratio: float, key: jax.Array,
     compute_dtype=jnp.float32, attn_impl: str = "xla",
+    mask_noise=None,
 ):
     """Masked encoder (models_mae.py:502-526). Returns (x, mask, ids_restore)."""
     x = patch_embed(imgs.astype(compute_dtype), params["patch_embed"], spec.patch_size, compute_dtype=compute_dtype)
     pe = consts.pos_embed.astype(compute_dtype)
     x = x + (pe[None] if spec.no_cls else pe[None, 1:, :])
-    x, mask, ids_restore = random_masking(key, x, mask_ratio)
+    x, mask, ids_restore = random_masking(key, x, mask_ratio, noise=mask_noise)
     if not spec.no_cls:
         x = _add_cls(x, params, consts, spec)
     x = _run_blocks(x, params["blocks"], spec.num_heads, attn_impl, spec.use_checkpoint)
@@ -383,11 +384,17 @@ def forward_vanilla(
     params: Params, spec: VMAESpec, consts: VMAEConsts, imgs: jnp.ndarray,
     key: jax.Array, mask_ratio: float = 0.75, visible_loss_ratio: float = 0.5,
     perceptual_loss_fn=None, compute_dtype=jnp.float32, attn_impl: str = "xla",
+    mask_noise=None, latent_noise=None,
 ) -> Dict[str, jnp.ndarray]:
-    """Stage-1 training forward (models_mae.py:773-807)."""
+    """Stage-1 training forward (models_mae.py:773-807).
+
+    mask_noise / latent_noise: optional deterministic overrides of the two
+    random draws (shuffle noise, posterior eps) so torch-side parity tests
+    can share the exact stream (see tests/test_grad_parity.py)."""
     k_mask, k_sample = jax.random.split(key)
     latent, mask, ids_restore = forward_encoder(
-        params, spec, consts, imgs, mask_ratio, k_mask, compute_dtype, attn_impl
+        params, spec, consts, imgs, mask_ratio, k_mask, compute_dtype, attn_impl,
+        mask_noise=mask_noise,
     )
     latent = _to_latent(latent, params["to_latent"], spec)
 
@@ -398,7 +405,11 @@ def forward_vanilla(
         posterior = diagonal_gaussian(moments, axis=1)
         kl = posterior.kl(fixed_std=spec.fixed_std)  # per-sample sum
         kl_loss = jnp.sum(kl) / kl.shape[0] / n_tokens  # per patch
-        latent = posterior.sample(k_sample).transpose(0, 2, 1).astype(compute_dtype)
+        latent = (
+            posterior.sample(k_sample, noise=latent_noise)
+            .transpose(0, 2, 1)
+            .astype(compute_dtype)
+        )
 
     latent = _to_latent(latent, params["from_latent"], spec)
     pred = forward_decoder(params, spec, consts, latent, ids_restore, attn_impl)

@@ -33,8 +33,14 @@ class DiagonalGaussian(NamedTuple):
     def var(self) -> jnp.ndarray:
         return jnp.exp(self.logvar)
 
-    def sample(self, key: jax.Array) -> jnp.ndarray:
-        eps = jax.random.normal(key, self.mean.shape, dtype=self.mean.dtype)
+    def sample(self, key: jax.Array, noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """noise: optional N(0,1) draw override (deterministic injection for
+        cross-framework parity tests)."""
+        eps = (
+            jax.random.normal(key, self.mean.shape, dtype=self.mean.dtype)
+            if noise is None
+            else noise.astype(self.mean.dtype)
+        )
         return self.mean + self.std * eps
 
     def mode(self) -> jnp.ndarray:

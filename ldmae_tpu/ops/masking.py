@@ -12,16 +12,19 @@ import jax.numpy as jnp
 
 
 def random_masking(
-    key: jax.Array, x: jnp.ndarray, mask_ratio: float
+    key: jax.Array, x: jnp.ndarray, mask_ratio: float, noise=None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (x_masked, mask, ids_restore).
 
     x: (N, L, D). mask: (N, L) with 0 = keep, 1 = removed.
+    noise: optional (N, L) uniform draw override — deterministic injection
+    for cross-framework parity tests (the torch side shares the same array).
     """
     n, length, d = x.shape
     len_keep = int(length * (1 - mask_ratio))
 
-    noise = jax.random.uniform(key, (n, length))
+    if noise is None:
+        noise = jax.random.uniform(key, (n, length))
     ids_shuffle = jnp.argsort(noise, axis=1)
     ids_restore = jnp.argsort(ids_shuffle, axis=1)
 

@@ -127,10 +127,15 @@ class Transport:
         x1: jnp.ndarray,
         sp_timesteps: Optional[Sequence[float]] = None,
         shifted_mu: float = 0.0,
+        x0: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Sample (t, x0, x1). Matches transport.py:136-166 semantics."""
+        """Sample (t, x0, x1). Matches transport.py:136-166 semantics.
+
+        x0: optional noise override (deterministic injection for parity
+        tests — the torch side shares the same array)."""
         k_noise, k_t, k_coin = jax.random.split(key, 3)
-        x0 = jax.random.normal(k_noise, x1.shape, dtype=x1.dtype)
+        if x0 is None:
+            x0 = jax.random.normal(k_noise, x1.shape, dtype=x1.dtype)
         t0, t1 = self.check_interval(self.train_eps, self.sample_eps)
         b = x1.shape[0]
 
@@ -181,10 +186,11 @@ class Transport:
         model_kwargs: Optional[Dict[str, Any]] = None,
         sp_timesteps: Optional[Sequence[float]] = None,
         shifted_mu: float = 0.0,
+        x0: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Velocity / noise / score flow-matching loss (transport.py:169-215)."""
         model_kwargs = model_kwargs or {}
-        t, x0, x1 = self.sample(key, x1, sp_timesteps, shifted_mu)
+        t, x0, x1 = self.sample(key, x1, sp_timesteps, shifted_mu, x0=x0)
         t, xt, ut = self.path_sampler.plan(t, x0, x1)
         model_output = model_fn(xt, t, **model_kwargs)
         assert model_output.shape == xt.shape

@@ -200,6 +200,35 @@ def load_ref_vmae():
     return _cache["vmae"]
 
 
+def load_ref_transport():
+    """The reference LDMAE/transport package (real code: __init__ +
+    transport.py + path.py + utils.py), with torchdiffeq stubbed (only the
+    ODE integrator class touches it; training_losses never does)."""
+    if "transport" not in _cache:
+        stubs = {
+            "torchdiffeq": _stub_module("torchdiffeq", odeint=None),
+        }
+        saved = {k: sys.modules.get(k) for k in stubs}
+        sys.modules.update(stubs)
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "ref_transport",
+                f"{REF_LDMAE}/transport/__init__.py",
+                submodule_search_locations=[f"{REF_LDMAE}/transport"],
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules["ref_transport"] = mod
+            spec.loader.exec_module(mod)
+            _cache["transport"] = mod
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    sys.modules.pop(k, None)
+                else:
+                    sys.modules[k] = v
+    return _cache["transport"]
+
+
 def load_ref_lightningdit():
     """The reference LDMAE/models/lightningdit.py module with its REAL
     sibling modules (pos_embed / rmsnorm / swiglu_ffn)."""

@@ -23,6 +23,7 @@ from ldmae_tpu.models.inception import (
     _avg_pool_no_pad_count,
     _fold_bn,
     _inception_a,
+    _inception_c,
     _inception_e,
     _max_pool,
 )
@@ -137,6 +138,37 @@ class _FIDInceptionE2(nn.Module):
         return torch.cat([b1, b3, bd, bp], 1)
 
 
+class _FIDInceptionC(nn.Module):
+    """torchvision InceptionC with pytorch-fid's patched branch pool
+    (calculate_fid.py:270+). c7=160 ⇒ this is Mixed_6d, the TF graph's
+    mixed_6 block whose `conv` branch the ADM evaluator taps for sFID."""
+
+    def __init__(self, in_c, c7):
+        super().__init__()
+        self.branch1x1 = _BasicConv2d(in_c, 192, kernel_size=1)
+        self.branch7x7_1 = _BasicConv2d(in_c, c7, kernel_size=1)
+        self.branch7x7_2 = _BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = _BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = _BasicConv2d(in_c, c7, kernel_size=1)
+        self.branch7x7dbl_2 = _BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = _BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = _BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = _BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = _BasicConv2d(in_c, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(
+            self.branch7x7dbl_4(
+                self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x)))
+            )
+        )
+        bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+        bp = self.branch_pool(bp)
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
 def _block_params(module: nn.Module):
     sd = {k: v.numpy() for k, v in module.state_dict().items()}
     branches = sorted({k.split(".")[0] for k in sd})
@@ -161,6 +193,56 @@ class TestBlockGolden:
         out = _inception_e(jnp.asarray(x.numpy()), _block_params(m), pool="max")
         assert out.shape == ref.shape
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+class TestMixed6ConvTap:
+    """The ADM sFID tap: TF `mixed_6/conv:0` (evaluator.py:24,610-614) =
+    post-relu Mixed_6d.branch1x1 = first 192 channels of the Mixed_6d block
+    output (the `conv` branch is concatenated first in both graphs)."""
+
+    def test_inception_c_block_and_conv_branch_golden(self):
+        m = _FIDInceptionC(768, c7=160).eval()  # Mixed_6d dims
+        x = torch.randn(2, 768, 9, 9) * 0.5
+        with torch.no_grad():
+            ref_block = m(x).numpy()
+            ref_tap = m.branch1x1(x).numpy()  # post-relu 1x1 branch
+        out = np.asarray(_inception_c(jnp.asarray(x.numpy()), _block_params(m)))
+        assert out.shape == ref_block.shape
+        np.testing.assert_allclose(out, ref_block, rtol=1e-3, atol=1e-4)
+        # the tap recipe: first 192 output channels == the conv branch
+        np.testing.assert_allclose(out[:, :192], ref_tap, rtol=1e-3, atol=1e-4)
+        assert np.allclose(ref_block[:, :192], ref_tap)
+
+    def test_forward_tap_equals_block_slice_and_shape(self):
+        import jax
+
+        from ldmae_tpu.models.inception import (
+            inception_forward,
+            init_random_inception_params,
+        )
+
+        params = init_random_inception_params(jax.random.key(0))
+        x = jnp.asarray(np.random.default_rng(1).random((2, 64, 64, 3)), jnp.float32)
+        _, sp = inception_forward(params, x, return_spatial=True,
+                                  spatial_tap="mixed_6_conv")
+        _, sp_block = inception_forward(params, x, return_spatial=True,
+                                        spatial_tap="Mixed_6d")
+        assert sp.shape == (2, 192, 17, 17)  # ADM: (N,17,17,192) NHWC
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(sp_block[:, :192]))
+
+    def test_unknown_tap_raises(self):
+        import jax
+
+        from ldmae_tpu.models.inception import (
+            inception_forward,
+            init_random_inception_params,
+        )
+
+        params = init_random_inception_params(jax.random.key(0))
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        with pytest.raises(ValueError, match="spatial_tap"):
+            inception_forward(params, x, return_spatial=True,
+                              spatial_tap="mixed_nope")
 
 
 if __name__ == "__main__":
