@@ -105,7 +105,11 @@ class TestShardedQuantSampling:
         )
         out = jax.jit(fn)({"dit": qsh}, jax.random.key(1), y)
         assert out.shape == (16, 4, 8, 8)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+        # w12 is sharded on its CONTRACTING dim under tp (mesh.py) — the
+        # partitioned psum changes f32 accumulation order, worth ~1e-4 over
+        # 4 ODE steps (measured 1.2e-4 max); int8 partials themselves are
+        # exact (int32 accumulation)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=5e-4)
 
 
 class TestPhasedCFG:
