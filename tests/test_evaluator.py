@@ -132,5 +132,69 @@ class TestStatistics:
         assert st.frechet_distance(st) < 1e-6
 
 
+class TestFullReportPR:
+    """`full_report` P&R WIRING on sets with controlled overlap (VERDICT r3
+    missing #5): the pipeline artifact showed precision=recall=0.0, which is
+    expected for disjoint feature clouds but was never distinguished from a
+    wiring bug. Here the Inception forward is swapped for a cheap injective
+    feature fn so the real read_activations -> stats -> manifold chain runs
+    end-to-end, and overlap is controlled by sharing exact images."""
+
+    def _evaluator(self):
+        from ldmae_tpu.eval.evaluator import Evaluator
+
+        ev = Evaluator(batch_size=16)
+
+        def cheap_fwd(x):
+            import jax.numpy as jnp
+
+            x = jnp.asarray(x, jnp.float32)
+            n, h, w, _ = x.shape
+            # 4x4x3 block means -> 48-d "pooled"; first 5 dims as "spatial"
+            f = x.reshape(n, 4, h // 4, 4, w // 4, 3).mean(axis=(2, 4))
+            f = f.reshape(n, -1)
+            return f, f[:, :5]
+
+        ev._fwd = cheap_fwd
+        return ev
+
+    @pytest.fixture(scope="class")
+    def npz_sets(self, tmp_path_factory):
+        t = tmp_path_factory.mktemp("pr_sets")
+        rng = np.random.default_rng(0)
+        # base distribution: mid-gray noise; "other": bright-shifted so its
+        # block means land far outside the base manifold radii
+        base = rng.integers(60, 120, (48, 32, 32, 3)).astype(np.uint8)
+        other = rng.integers(200, 250, (32, 32, 32, 3)).astype(np.uint8)
+        ref = base[:32]
+        hi = np.concatenate([base[8:32], other[:8]])   # 24/32 shared with ref
+        lo = np.concatenate([base[24:32], other[:24]])  # 8/32 shared
+        paths = {}
+        for name, arr in [("ref", ref), ("hi", hi), ("lo", lo)]:
+            p = str(t / f"{name}.npz")
+            np.savez(p, arr_0=arr)
+            paths[name] = p
+        return paths
+
+    def test_partial_overlap_between_zero_and_one(self, npz_sets):
+        ev = self._evaluator()
+        rep = ev.full_report(npz_sets["ref"], npz_sets["hi"])
+        assert 0.0 < rep["precision"] < 1.0, rep
+        assert 0.0 < rep["recall"] < 1.0, rep
+        assert np.isfinite(rep["fid"]) and np.isfinite(rep["sfid"])
+        assert rep["fid"] > 0
+
+    def test_monotone_in_overlap_and_identity(self, npz_sets):
+        ev = self._evaluator()
+        hi = ev.full_report(npz_sets["ref"], npz_sets["hi"])
+        lo = ev.full_report(npz_sets["ref"], npz_sets["lo"])
+        assert hi["precision"] > lo["precision"], (hi, lo)
+        assert hi["recall"] > lo["recall"], (hi, lo)
+        assert hi["fid"] < lo["fid"], (hi, lo)
+        same = ev.full_report(npz_sets["ref"], npz_sets["ref"])
+        assert same["precision"] == 1.0 and same["recall"] == 1.0
+        assert abs(same["fid"]) < 1e-4
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
