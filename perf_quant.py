@@ -31,6 +31,14 @@ from ldmae_tpu.transport import create_transport
 
 
 def build(batch, num_steps, quant_mode):
+    # param prep = hundreds of small eager ops; on the remote-compiled axon
+    # backend each is a remote compile — build on the local CPU backend
+    # (PERF.md "Driver startup"); the first sample call places the pytree
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return _build(batch, num_steps, quant_mode)
+
+
+def _build(batch, num_steps, quant_mode):
     spec = dit_spec(
         "LightningDiT-B/1", input_size=32, in_channels=16, num_classes=1000,
         use_qknorm=True, use_swiglu=True, use_rope=True, use_rmsnorm=True,

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(os.environ, LDMAE_PLATFORM="cpu", PYTHONPATH=REPO)
 

@@ -209,6 +209,7 @@ class TestConvVAE:
         out = cv.decoder_forward(params["decoder"], SPEC, jnp.asarray(z.numpy()))
         np.testing.assert_allclose(np.asarray(out), ref, rtol=5e-3, atol=5e-4)
 
+    @pytest.mark.slow
     def test_roundtrip_shapes_fullsize_init(self):
         """Random-init full-size spec: encode/decode shape contract."""
         spec = cv.ConvVAESpec(
@@ -309,6 +310,7 @@ class TestDiffusersImport:
 
 
 class TestTokenizerWrappers:
+    @pytest.mark.slow
     def test_factory_and_api(self):
         import jax
         from PIL import Image

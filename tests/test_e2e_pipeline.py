@@ -21,6 +21,8 @@ from ldmae_tpu.train.state import init_train_state
 from ldmae_tpu.train.train_dit import make_optimizer, make_train_step
 from ldmae_tpu.transport import create_transport
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def image_folder(tmp_path_factory):

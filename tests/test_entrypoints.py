@@ -2,11 +2,14 @@
 bench.py and __graft_entry__.py are executed by the round driver, so
 import-time bitrot there is costlier than anywhere else."""
 
+import pytest
 import os
 import subprocess
 import sys
 
 import numpy as np
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO, XLA_FLAGS="")

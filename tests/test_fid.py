@@ -75,7 +75,9 @@ class TestInception:
         x = jnp.asarray(np.random.rand(2, 64, 64, 3), jnp.float32)
         pooled, spatial = inception_forward(params, x, return_spatial=True)
         assert pooled.shape == (2, 2048)
-        assert spatial.shape == (2, 768, 17, 17)
+        # default tap is now the exact ADM mixed_6/conv node: the post-relu
+        # Mixed_6d.branch1x1, (N, 192, 17, 17)
+        assert spatial.shape == (2, 192, 17, 17)
         assert np.all(np.isfinite(np.asarray(pooled)))
 
     def test_fid_paths_on_folders(self, tmp_path):

@@ -37,6 +37,8 @@ from ldmae_tpu.models.vmae import VMAEConsts, vmae_spec
 from ldmae_tpu.train import torch_export, torch_import
 from ldmae_tpu.transport.samplers import forward_with_cfg
 
+pytestmark = pytest.mark.slow
+
 torch.manual_seed(0)
 
 

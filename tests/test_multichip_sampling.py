@@ -11,6 +11,8 @@ from ldmae_tpu.models.lightningdit import DiTConsts, DiTSpec, init_dit_params
 from ldmae_tpu.parallel import create_mesh, shard_params
 from ldmae_tpu.transport import create_transport
 
+pytestmark = pytest.mark.slow
+
 
 class TestShardedSampling:
     def test_dp_sharded_cfg_sampling(self):

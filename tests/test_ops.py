@@ -460,6 +460,7 @@ class TestFusedMatmulSilu:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 class TestFusedAdaLNGrad:
     """custom-VJP backward of the fused adaLN vs autodiff of the unfused
     lowering — enables adaln_impl='fused' in training."""

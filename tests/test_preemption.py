@@ -13,6 +13,8 @@ import pytest
 import yaml
 from safetensors.numpy import save_file
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(
     os.environ,

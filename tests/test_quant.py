@@ -230,6 +230,7 @@ if __name__ == "__main__":
 
 
 class TestQuantPhasedSampling:
+    @pytest.mark.slow
     def test_full_sampling_stack_combination(self):
         """quant w8a8 + fused adaLN + phased CFG together through
         make_sample_fn (the bench/inference configuration) must agree with

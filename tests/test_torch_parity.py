@@ -452,6 +452,7 @@ class TestMergedSwiglu:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestRegistryInit:
     def test_all_registry_models_init(self):
         """Every registry entry must initialise (the old fixed key split

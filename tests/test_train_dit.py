@@ -61,6 +61,7 @@ class TestTrainStep:
         assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.9, losses[:3] + losses[-3:]
         assert int(state.step) == 60
 
+    @pytest.mark.slow
     def test_grad_accum_equivalence(self):
         """accum=2 on half-size microbatches ≈ accum=1 on the full batch when
         using the same rng (t/noise draws differ across micro splits, so we
@@ -98,6 +99,7 @@ class TestTrainStep:
         jax.tree_util.tree_map(check, new_state.ema_params, params, new_state.params)
 
 
+@pytest.mark.slow
 class TestSPMD:
     def test_sharded_train_step_8dev(self):
         assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
@@ -164,6 +166,7 @@ if __name__ == "__main__":
     pytest.main([__file__, "-v"])
 
 
+@pytest.mark.slow
 class TestFSDP:
     def test_fsdp_sharded_step(self):
         """ZeRO-style parameter sharding over the fsdp axis."""
@@ -212,6 +215,7 @@ class TestPrefetcher:
             list(it)
 
 
+@pytest.mark.slow
 class TestRemat:
     def test_remat_train_step_matches_no_remat(self):
         """use_checkpoint (jax.checkpoint over the scanned block) must not

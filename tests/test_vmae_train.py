@@ -124,6 +124,7 @@ class TestStage1:
             assert k in m
 
 
+@pytest.mark.slow
 class TestGradAccum:
     """--accum_iter now performs real micro-batch accumulation (the lr was
     already scaled for batch·accum·world; engine_pretrain.py:72-76)."""
@@ -234,6 +235,7 @@ class TestLPIPS:
         big = lpips(params, x, x + 0.5).mean()
         assert 0 < float(small) < float(big)
 
+    @pytest.mark.slow
     def test_as_perceptual_loss_in_vmae(self):
         lfn = make_lpips_fn(import_lpips_weights())
         consts = VMAEConsts(SPEC)
@@ -254,6 +256,7 @@ if __name__ == "__main__":
     pytest.main([__file__, "-v"])
 
 
+@pytest.mark.slow
 class TestRemat:
     def test_checkpoint_spec_preserves_values_and_grads(self):
         """spec.use_checkpoint must change memory use only — forward values
@@ -284,6 +287,7 @@ class TestRemat:
         )
 
 
+@pytest.mark.slow
 class TestShardedVMAETrain:
     """The reference trains the VMAE on 8 GPUs via DDP (train_ae.sh:26,
     misc.py:367-402); our equivalent is the dp mesh cli.train_vmae builds.
