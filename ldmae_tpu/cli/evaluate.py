@@ -22,6 +22,11 @@ def main():
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--weights", default=None, help="pt_inception weights path")
     p.add_argument("--ref_stats", default=None, help="npz with mu/sigma/mu_s/sigma_s")
+    p.add_argument(
+        "--spatial_tap", default="mixed_6_conv",
+        help="sFID feature node: mixed_6_conv (exact ADM tap, default) or "
+             "any Mixed_* block boundary for tap studies (EVAL_NOTES.md)",
+    )
     a = p.parse_args()
 
     if a.fid:
@@ -39,7 +44,8 @@ def main():
 
     from ..eval.evaluator import Evaluator
 
-    ev = Evaluator(weights_path=a.weights, batch_size=a.batch_size)
+    ev = Evaluator(weights_path=a.weights, batch_size=a.batch_size,
+                   spatial_tap=a.spatial_tap)
     report = ev.full_report(
         a.paths[0], a.paths[1], ref_stats_npz=a.ref_stats, limit=a.sp_len
     )

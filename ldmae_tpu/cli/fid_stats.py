@@ -23,11 +23,17 @@ def main():
     p.add_argument("--weights", default=None)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument(
+        "--spatial_tap", default="mixed_6_conv",
+        help="sFID feature node: mixed_6_conv (exact ADM tap, default) or "
+             "any Mixed_* block boundary for tap studies (EVAL_NOTES.md)",
+    )
     a = p.parse_args()
 
     from ..eval.evaluator import Evaluator, compute_statistics
 
-    ev = Evaluator(weights_path=a.weights, batch_size=a.batch_size)
+    ev = Evaluator(weights_path=a.weights, batch_size=a.batch_size,
+                   spatial_tap=a.spatial_tap)
     pooled, spatial = ev.read_activations(a.input, limit=a.limit)
     st = compute_statistics(pooled)
     st_s = compute_statistics(spatial)

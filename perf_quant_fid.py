@@ -84,18 +84,25 @@ def report(sets, n):
 
 
 def main(n=1024, steps=250):
+    os.makedirs("runs", exist_ok=True)
     sets = {}
     for mode, key_base, seed in [
         ("bf16", 10_000, 7),
         ("w8a8", 10_000, 7),     # SAME keys + labels as bf16
         ("bf16_b", 50_000, 8),   # independent noise: resample-shift scale
     ]:
+        cache = f"runs/quant_fid_{mode}_{n}_{steps}.npy"
+        if os.path.exists(cache):
+            sets[mode] = np.load(cache)
+            print(f"{mode}: loaded {cache}", flush=True)
+            continue
         quant = "w8a8" if mode == "w8a8" else None
         fn, bundle = build(BATCH, steps, quant)
         print(f"sampling {mode}: {n} images...", flush=True)
         t0 = time.time()
         sets[mode] = sample_set(fn, bundle, n, key_base, seed)
         print(f"{mode}: {n / (time.time() - t0):.3f} img/s incl. compile", flush=True)
+        np.save(cache, sets[mode])
         del fn, bundle
 
     # side-by-side grid (first 8 of each set; same noise/labels per column)

@@ -223,6 +223,77 @@ class TestDiTGradParity:
 
 
 # ---------------------------------------------------------------------------
+# Optimizer-step parity: grads -> AdamW(+clip) -> EMA vs torch
+# ---------------------------------------------------------------------------
+
+
+class TestOptimizerStepParity:
+    def test_adamw_clip_ema_step_matches_torch(self, dit_torch_grads):
+        """Completes the train-path anchor chain: with gradient parity
+        proven above, the remaining numerics are clip_by_global_norm +
+        AdamW (train_accum.py:121: lr, weight_decay=0, betas=(0.9, b2)) +
+        EMA 0.9999 (update_ema, train_accum.py:26-35). Two consecutive
+        torch steps (exercising bias correction at t=1,2) must match
+        optax through the importer mapping."""
+        import optax
+
+        from ldmae_tpu.train.train_dit import make_optimizer
+
+        sd, grads_sd, *_ = dit_torch_grads
+        lr, b2, clip = 1e-3, 0.95, 1.0
+
+        model_params = {
+            k: v.detach().clone().requires_grad_(True)
+            for k, v in sd.items()
+            # frozen pos_embed never reaches the optimizer
+            if k != "pos_embed"
+        }
+        opt = torch.optim.AdamW(
+            model_params.values(), lr=lr, weight_decay=0.0, betas=(0.9, b2)
+        )
+        ema_t = {k: v.detach().clone() for k, v in model_params.items()}
+        for step in range(2):
+            for k, p in model_params.items():
+                g = grads_sd[k].double()
+                p.grad = g * (1.0 + 0.5 * step)  # different grads per step
+            torch.nn.utils.clip_grad_norm_(model_params.values(), clip)
+            opt.step()
+            with torch.no_grad():
+                for k, p in model_params.items():
+                    ema_t[k].mul_(0.9999).add_(p, alpha=1e-4)
+
+        spec = DiTSpec(**DIT_DIMS)
+        sd_np = {k: v.detach().to(torch.float32).numpy() for k, v in sd.items()}
+        params = torch_import.import_dit_state_dict(sd_np, spec)
+        grads = torch_import.import_dit_state_dict(
+            {k: v.numpy() for k, v in grads_sd.items()}, spec
+        )
+        tx = make_optimizer(lr, b2, max_grad_norm=clip)
+        opt_state = tx.init(params)
+        ema = params
+        for step in range(2):
+            g = jax.tree_util.tree_map(lambda x: x * (1.0 + 0.5 * step), grads)
+            updates, opt_state = tx.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: 0.9999 * e + 1e-4 * p, ema, params
+            )
+
+        ref_params = torch_import.import_dit_state_dict(
+            {k: (model_params[k] if k in model_params else torch.as_tensor(v)).detach().numpy()
+             for k, v in sd.items()},
+            spec,
+        )
+        ref_ema = torch_import.import_dit_state_dict(
+            {k: (ema_t[k] if k in ema_t else torch.as_tensor(v)).detach().numpy()
+             for k, v in sd.items()},
+            spec,
+        )
+        _assert_tree_close(params, ref_params, tol=1e-5)
+        _assert_tree_close(ema, ref_ema, tol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # VMAE train-step gradient parity
 # ---------------------------------------------------------------------------
 
