@@ -185,7 +185,8 @@ def _build_pipeline(config, ckpt_path, dit_params, demo):
     return sample_fn, bundle, spec
 
 
-def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = None):
+def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = None,
+              tp: int = 1):
     from ..eval.sampling import demo_labels
 
     exp_dir = os.path.join(config.train.output_dir, config.train.exp_name)
@@ -237,14 +238,26 @@ def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = 
     # whole pipeline. The mesh must be local — ranks sample disjoint
     # batches independently (the reference runs one process per GPU), and
     # a global mesh with process-local data would scatter wrongly.
+    # --tp N additionally shards the DiT weights over a tensor-parallel
+    # axis (parallel/mesh.py rules: qkv/proj/swiglu/adaLN and the
+    # merged/quantized layouts) — for models whose weights or doubled-CFG
+    # activations don't fit one chip; dp shrinks to n_local/tp.
     mesh = None
-    if jax.local_device_count() > 1 and per_batch % jax.local_device_count() == 0:
-        from ..parallel import create_mesh
+    n_local = jax.local_device_count()
+    tp = max(1, int(tp))
+    if n_local > 1 and n_local % tp == 0 and per_batch % (n_local // tp) == 0:
+        from ..parallel import create_mesh, shard_params
 
-        mesh = create_mesh(dp=-1, devices=jax.local_devices())
+        mesh = create_mesh(dp=-1, tp=tp, devices=jax.local_devices())
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         y_sharding = NamedSharding(mesh, P(("dp", "fsdp")))
+        if tp > 1:
+            bundle = dict(bundle)
+            bundle["dit"] = shard_params(mesh, bundle["dit"], use_tp=True)
+    elif tp > 1:
+        print(f"WARNING: --tp {tp} ignored (n_local={n_local}, "
+              f"per_proc_batch_size={per_batch} not divisible)")
     done = 0
     t0 = time.time()
     for i in range(rank, n_batches, world):
@@ -279,6 +292,11 @@ def main():
         "--quant", default=None, choices=["w8", "w8a8"],
         help="int8-quantize the DiT for sampling (overrides parallel.quant)",
     )
+    parser.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel degree over this process's local devices "
+             "(shards the DiT weights; dp shrinks to n_local/tp)",
+    )
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
@@ -297,7 +315,7 @@ def main():
         config.ckpt_path = args.ckpt
     if args.quant:
         config.parallel.quant = args.quant
-    out_dir = do_sample(config, demo=args.demo, demo_out=args.demo_out)
+    out_dir = do_sample(config, demo=args.demo, demo_out=args.demo_out, tp=args.tp)
 
     # FID vs the reference stats after sampling (inference.py:352-368)
     ref = config.data.fid_reference_file

@@ -171,6 +171,43 @@ class TestInferenceCLI:
         img = Image.open(grids[0])
         assert img.size == (4 * 64, 2 * 64)  # 2x4 grid of 64² images
 
+    def test_tp_sampling(self, tmp_path):
+        """--tp 2 on a 4-device host: DiT weights shard over a dp2 x tp2
+        local mesh (parallel/mesh.py tp rules incl. adaLN/w12) and the PNG
+        loop still covers exactly fid_num images."""
+        import yaml
+
+        cfg = {
+            "data": {
+                "data_path": str(tmp_path / "nolatents"),
+                "image_size": 64,
+                "num_classes": 8,
+                "latent_norm": True,
+                "sample": True,
+            },
+            "vae": {"model_name": "vmae_f8d16", "downsample_ratio": 8, "weight_path": ""},
+            "model": {"model_type": "LightningDiT-debug", "in_chans": 16,
+                      "use_qknorm": True, "use_swiglu": True, "use_rope": True,
+                      "use_rmsnorm": True},
+            "train": {"output_dir": str(tmp_path / "out"), "exp_name": "tp"},
+            "sample": {"num_sampling_steps": 2, "cfg_scale": 4.0,
+                       "per_proc_batch_size": 4, "fid_num": 6},
+        }
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        r = subprocess.run(
+            [sys.executable, "-m", "ldmae_tpu.cli.inference", "--config", str(p),
+             "--skip_fid", "--tp", "2"],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        import glob
+
+        pngs = glob.glob(str(tmp_path / "out" / "**" / "*.png"), recursive=True)
+        idxs = sorted(int(os.path.basename(q)[:-4]) for q in pngs)
+        assert idxs == list(range(6)), (idxs, r.stdout[-1000:])
+
 
 class TestTrainDiTCLI:
     def test_train_and_resume(self, tmp_path):
