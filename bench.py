@@ -31,6 +31,23 @@ A100_BASELINE_IMGS_PER_SEC = 0.40  # analytic estimate, see module docstring
 
 
 def main(batch: int = 36, iters: int = 3, num_steps: int = 250):
+    # param prep = hundreds of small eager ops; on the remote-compiled axon
+    # backend each can be its own remote compile (they sit below the
+    # persistent-cache threshold) — BUILD on the local CPU backend like the
+    # drivers do, then leave the context so the timed sampling calls run on
+    # the accelerator (jit moves the uncommitted pytree there once)
+    import contextlib
+
+    try:
+        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        prep_ctx = contextlib.nullcontext()
+    with prep_ctx:
+        sample_jit, bundle = _build(num_steps)
+    return _run(sample_jit, bundle, batch, iters, num_steps)
+
+
+def _build(num_steps: int):
     from ldmae_tpu.eval.sampling import make_sample_fn
     from ldmae_tpu.models.lightningdit import DiTConsts, dit_spec, init_dit_params
     from ldmae_tpu.models.vmae import VMAEConsts, init_vmae_params, vmae_spec
@@ -104,7 +121,10 @@ def main(batch: int = 36, iters: int = 3, num_steps: int = 250):
         "latent_mean": latent_mean,
         "latent_std": latent_std,
     }
+    return sample_jit, bundle
 
+
+def _run(sample_jit, bundle, batch: int, iters: int, num_steps: int):
     y = jnp.arange(batch, dtype=jnp.int32) % 1000
 
     # warmup / compile
