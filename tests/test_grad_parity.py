@@ -374,6 +374,102 @@ class TestVMAEGradParityStage1:
             assert any(fam in c for c in checked), fam
 
 
+class TestVMAEGradParityLPIPS:
+    def test_forward_vanilla_with_lpips_every_leaf(self):
+        """Stage 1 with the perceptual term ACTIVE (the published recipe
+        trains with LPIPS ratio 0.5/10.0 — train_ae.sh): gradients flow
+        through VGG16 feature slices, channel-unit normalisation and the
+        NetLin projections (models_mae.py:761-767). The torch anchor is the
+        hand-built golden LPIPS from test_lpips_golden with shared weights
+        on both sides, run in float64."""
+        from test_lpips_golden import (
+            _CHNS as CH,
+            _SLICE_ENDS,
+            _build_torch_features,
+            _normalize_tensor,
+            _scale,
+            _torch_slices,
+        )
+
+        from ldmae_tpu.models.lpips import import_lpips_weights, lpips
+
+        torch.manual_seed(0)
+        feats = _build_torch_features().double().eval()
+        for p in feats.parameters():
+            p.requires_grad_(False)
+        g = torch.Generator().manual_seed(7)
+        lin_ws = [torch.rand((1, c, 1, 1), generator=g).double() * 0.1 for c in CH]
+
+        def torch_lpips(a, b):
+            o0 = _torch_slices(feats, _scale(a))
+            o1 = _torch_slices(feats, _scale(b))
+            val = 0.0
+            for k in range(5):
+                d = (_normalize_tensor(o0[k]) - _normalize_tensor(o1[k])) ** 2
+                proj = torch.nn.functional.conv2d(d, lin_ws[k])
+                val = val + proj.mean(dim=[2, 3], keepdim=True)
+            return val  # (B, 1, 1, 1) like the reference LPIPS
+
+        vm, model = _build_ref_vmae(
+            kl_loss_weight=1e-4, fixed_std=1e-3,
+            perceptual_loss=torch_lpips, perceptual_loss_ratio=0.5,
+        )
+        model.double().train()
+        g = torch.Generator().manual_seed(3)
+        x = torch.randn(2, 3, 16, 16, generator=g, dtype=torch.float64) * 0.5
+        n_tok = (16 // 4) ** 2
+        n_vis = int(n_tok * (1 - MASK_RATIO))
+        mask_noise = torch.rand(2, n_tok, generator=g, dtype=torch.float64)
+        eps = torch.randn(2, VMAE_DIMS["latent_dim"], n_vis, generator=g,
+                          dtype=torch.float64)
+
+        import sys
+        from unittest import mock
+
+        misc_mod = sys.modules[vm.DiagonalGaussianDistribution.__module__]
+        with mock.patch("torch.rand", side_effect=lambda *s, **k: mask_noise.clone()), \
+             mock.patch.object(
+                 misc_mod, "randn_tensor",
+                 side_effect=lambda shape, **k: eps.clone(),
+             ):
+            loss, *_ = model.forward_vanilla(
+                x, mask_ratio=MASK_RATIO, visible_loss_ratio=VIS_RATIO
+            )
+        loss.backward()
+
+        spec = _our_vmae_spec(kl_loss_weight=1e-4, fixed_std=1e-3,
+                              perceptual_loss_ratio=0.5)
+        consts = VMAEConsts(spec)
+        sd = {k: v.detach().to(torch.float32).numpy()
+              for k, v in model.state_dict().items()}
+        params = torch_import.import_vmae_state_dict(sd, spec)
+        vgg_sd = {f"features.{k}": v.to(torch.float32).numpy()
+                  for k, v in feats.state_dict().items()}
+        lin_sd = {f"lin{k}.model.1.weight": w.to(torch.float32).numpy()
+                  for k, w in enumerate(lin_ws)}
+        lp = import_lpips_weights(vgg_sd, lin_sd)
+
+        def loss_fn(p):
+            out = vmae_mod.forward_vanilla(
+                p, spec, consts, jnp.asarray(x.numpy()), jax.random.key(0),
+                mask_ratio=MASK_RATIO, visible_loss_ratio=VIS_RATIO,
+                perceptual_loss_fn=lambda a, b: lpips(lp, a, b),
+                compute_dtype=jnp.float32,
+                mask_noise=jnp.asarray(mask_noise.numpy()),
+                latent_noise=jnp.asarray(eps.numpy()),
+            )
+            return out["loss"]
+
+        jloss, grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(float(jloss), float(loss.detach()), rtol=5e-4)
+        grads_ref = torch_import.import_vmae_state_dict(
+            {k: v.numpy() for k, v in _grad_state_dict(model).items()}, spec
+        )
+        checked = _assert_tree_close(grads, grads_ref, tol=2e-3)
+        # the LPIPS gradient reaches the decoder output projection
+        assert any("decoder_pred" in c for c in checked)
+
+
 class TestVMAEGradParityStage3:
     def test_forward_ldmae_decoder_grads(self):
         """Stage 3 (tune_decoder): mask_ratio=0 routes the reference through
