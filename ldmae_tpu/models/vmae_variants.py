@@ -166,13 +166,17 @@ def forward_encoder_with_mask(
     key: jax.Array,
     downsample_after: int,
     attn_impl: str = "xla",
+    mask_noise=None,
 ):
     """models_mae.py:559-596: patchify → mask → reinsert mask tokens →
-    +PE → blocks (Downsample inserted after ``downsample_after`` blocks)."""
+    +PE → blocks (Downsample inserted after ``downsample_after`` blocks).
+
+    mask_noise: optional deterministic shuffle-noise override for
+    cross-framework parity tests (see tests/test_grad_parity.py)."""
     from ..ops.patchify import patch_embed
 
     x = patch_embed(imgs, params["patch_embed"], spec.patch_size)
-    x, mask, ids_restore = random_masking(key, x, mask_ratio)
+    x, mask, ids_restore = random_masking(key, x, mask_ratio, noise=mask_noise)
     x = unshuffle_with_mask_tokens(x, params["mask_token"], ids_restore)
     x = x + consts.pos_embed.astype(x.dtype)[None]
     block = _maybe_remat(vit_block, spec, spec.num_heads, attn_impl)
@@ -268,10 +272,15 @@ def forward_vanilla_gradual(
     perceptual_loss_fn=None,
     compute_dtype=jnp.float32,
     attn_impl: str = "xla",
+    mask_noise=None,
+    latent_noise=None,
 ) -> Dict[str, jnp.ndarray]:
     """Stage-1 training forward for ``--gradual_resol``
     (models_mae.py:773-807 with the gradual encoder/decoder substituted at
-    775/797; loss assembly identical to models/vmae.forward_vanilla)."""
+    775/797; loss assembly identical to models/vmae.forward_vanilla).
+
+    mask_noise / latent_noise: optional deterministic overrides of the two
+    random draws for cross-framework parity tests."""
     from ..ops import patchify, unpatchify
     from ..ops.gaussian import diagonal_gaussian
     from .vmae import _to_latent
@@ -279,7 +288,7 @@ def forward_vanilla_gradual(
     k_mask, k_sample = jax.random.split(key)
     latent, mask, ids_restore = forward_encoder_with_mask(
         params, spec, consts, imgs.astype(compute_dtype), mask_ratio, k_mask,
-        downsample_after, attn_impl=attn_impl,
+        downsample_after, attn_impl=attn_impl, mask_noise=mask_noise,
     )
     latent = _to_latent(latent, params["to_latent"], spec)
 
@@ -290,7 +299,11 @@ def forward_vanilla_gradual(
         posterior = diagonal_gaussian(moments, axis=1)
         kl = posterior.kl(fixed_std=spec.fixed_std)
         kl_loss = jnp.sum(kl) / kl.shape[0] / n_tokens
-        latent = posterior.sample(k_sample).transpose(0, 2, 1).astype(compute_dtype)
+        latent = (
+            posterior.sample(k_sample, noise=latent_noise)
+            .transpose(0, 2, 1)
+            .astype(compute_dtype)
+        )
 
     latent = _to_latent(latent, params["from_latent"], spec)
     pred = forward_decoder_without_mask(

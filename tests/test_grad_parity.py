@@ -470,6 +470,91 @@ class TestVMAEGradParityLPIPS:
         assert any("decoder_pred" in c for c in checked)
 
 
+class TestGradualGradParity:
+    def test_gradual_forward_vanilla_every_leaf(self):
+        """The --gradual_resol stage-1 path (forward_encoder_with_mask with
+        the token Downsample, decoder Upsample, mask-token reinsertion —
+        models_mae.py:352-395,559-627): full train-loss gradients vs torch
+        autograd in f64. Random draws are RECORDED from the torch side
+        (shapes differ from the plain path: masking at the half-patch grid,
+        posterior at the post-Downsample grid) and injected into ours."""
+        import sys
+        from unittest import mock
+
+        from ldmae_tpu.models import vmae_variants as vv
+        from ldmae_tpu.models.vmae import VMAESpec
+        from ldmae_tpu.train.torch_import import import_vmae_state_dict_gradual
+
+        vm = load_ref_vmae()
+        torch.manual_seed(0)
+        ref = vm.MaskedAutoencoderViT(
+            img_size=32, patch_size=4, embed_dim=24, depth=2, num_heads=4,
+            decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+            latent_dim=4, no_cls=True, gradual_resol=True, kl_loss_weight=1e-4,
+            norm_layer=torch.nn.LayerNorm,
+        ).double().train()
+        g = torch.Generator().manual_seed(5)
+        x = torch.randn(2, 3, 32, 32, generator=g, dtype=torch.float64) * 0.5
+
+        orig_rand = torch.rand
+        g2 = torch.Generator().manual_seed(11)
+        rec = {}
+
+        def rec_rand(*size, **kw):
+            t = orig_rand(*size, generator=g2, dtype=torch.float64)
+            rec["mask_noise"] = t.clone()
+            return t
+
+        def rec_eps(shape, **kw):
+            t = torch.randn(*shape, generator=g2, dtype=torch.float64)
+            rec["eps"] = t.clone()
+            return t
+
+        misc_mod = sys.modules[vm.DiagonalGaussianDistribution.__module__]
+        with mock.patch("torch.rand", side_effect=rec_rand), \
+             mock.patch.object(misc_mod, "randn_tensor", side_effect=rec_eps):
+            loss, *_ = ref.forward_vanilla(
+                x, mask_ratio=0.25, visible_loss_ratio=0.75
+            )
+        loss.backward()
+        assert set(rec) == {"mask_noise", "eps"}
+
+        # ctor halves patch_size for gradual (models_mae.py:310-312)
+        spec = VMAESpec(
+            img_size=32, patch_size=2, embed_dim=24, depth=2, num_heads=4,
+            decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+            latent_dim=4, no_cls=True, kl_loss_weight=1e-4,
+        )
+        down = spec.depth // 2
+        up = spec.decoder_depth - down
+        sd = {k: v.detach().to(torch.float32).numpy()
+              for k, v in ref.state_dict().items()}
+        params = import_vmae_state_dict_gradual(sd, spec, down, up)
+        consts = vv.GradualConsts(spec)
+
+        def loss_fn(p):
+            out = vv.forward_vanilla_gradual(
+                p, spec, consts, jnp.asarray(x.numpy()), jax.random.key(0),
+                downsample_after=down, upsample_after=up,
+                mask_ratio=0.25, visible_loss_ratio=0.75,
+                compute_dtype=jnp.float32,
+                mask_noise=jnp.asarray(rec["mask_noise"].numpy()),
+                latent_noise=jnp.asarray(rec["eps"].numpy()),
+            )
+            return out["loss"]
+
+        jloss, grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(float(jloss), float(loss.detach()), rtol=5e-4)
+        grads_ref = import_vmae_state_dict_gradual(
+            {k: v.numpy() for k, v in _grad_state_dict(ref).items()}, spec,
+            down, up,
+        )
+        checked = _assert_tree_close(grads, grads_ref, tol=2e-3)
+        for fam in ("encoder_downsample", "decoder_upsample", "mask_token",
+                    "decoder_pred", "to_latent"):
+            assert any(fam in c for c in checked), fam
+
+
 class TestVMAEGradParityStage3:
     def test_forward_ldmae_decoder_grads(self):
         """Stage 3 (tune_decoder): mask_ratio=0 routes the reference through
