@@ -29,7 +29,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ldmae_tpu.data.images import normalize_uint8_images
 from ldmae_tpu.models.tokenizers import build_tokenizer_fns
-from ldmae_tpu.ops.gaussian import diagonal_gaussian
 
 
 def device_encode_rate(batch=64, iters=4, image_size=256):

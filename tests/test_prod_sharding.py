@@ -122,7 +122,6 @@ def test_no_big_leaf_replicated_and_fits_v5e(model):
     # the adaLN projection specifically must be sharded over tp AND fsdp
     # (VERDICT r3 weak #1: it used to silently replicate under tp)
     adaln = dict((n, (nb, sb)) for n, nb, sb in leaves)
-    key = "1/blocks/adaln/w"  # params field of the TrainState namedtuple
     match = [n for n in adaln if n.endswith("blocks/adaln/w")]
     assert match, sorted(adaln)[:20]
     for n in match:
