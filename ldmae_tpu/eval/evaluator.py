@@ -377,19 +377,36 @@ class Evaluator:
 
         ``limit`` bounds the images read AND computed (not just the result):
         at 50k-image scale a post-hoc slice would waste ~limit/50k of the
-        Inception work."""
+        Inception work.
+
+        The spatial cache member is tap-dependent: an ``arr_tap`` member
+        records which node ``arr_2`` was computed at. A cache with a
+        mismatching tap is recomputed (and NOT overwritten — the npz append
+        cannot replace members); a cache with no ``arr_tap`` is trusted only
+        for the ADM-default tap, since the ADM evaluator's own caches carry
+        no marker and are always the exact mixed_6/conv node."""
         if npz_or_dir.endswith(".npz"):
             if _npz_has_members(npz_or_dir, ("arr_1", "arr_2")):
                 with np.load(npz_or_dir) as f:
-                    a1, a2 = f["arr_1"][:], f["arr_2"][:]
-                return (a1[:limit], a2[:limit]) if limit else (a1, a2)
+                    cached_tap = (
+                        str(f["arr_tap"]) if "arr_tap" in f.files
+                        else "mixed_6_conv"
+                    )
+                    if cached_tap == getattr(self, "spatial_tap", "mixed_6_conv"):
+                        a1, a2 = f["arr_1"][:], f["arr_2"][:]
+                        return (a1[:limit], a2[:limit]) if limit else (a1, a2)
             acts = self._activations_from_batches(
                 iter_npz_batches(npz_or_dir, "arr_0", self.batch_size, limit)
             )
-            if not limit:  # don't cache partial activations
+            if not limit and not _npz_has_members(npz_or_dir, ("arr_1",)):
+                # don't cache partial activations or shadow an existing
+                # (other-tap) cache — zip append cannot replace members
                 try:
                     _append_npz_arrays(
-                        npz_or_dir, {"arr_1": acts[0], "arr_2": acts[1]}
+                        npz_or_dir,
+                        {"arr_1": acts[0], "arr_2": acts[1],
+                         "arr_tap": np.asarray(
+                             getattr(self, "spatial_tap", "mixed_6_conv"))},
                     )
                 except OSError:
                     pass  # read-only location; skip caching

@@ -35,7 +35,13 @@ def device_encode_rate(batch=64, iters=4, image_size=256):
     # param init is hundreds of small eager ops — on the remote-compiled
     # axon backend each is its own remote compile (PERF.md "Driver startup");
     # prep on the local CPU backend like the drivers do
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    import contextlib
+
+    try:
+        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        prep_ctx = contextlib.nullcontext()
+    with prep_ctx:
         tok = build_tokenizer_fns("vmae_f8d16", "", image_size)
     params = tok.params
 
@@ -48,8 +54,10 @@ def device_encode_rate(batch=64, iters=4, image_size=256):
         return moments[:half], moments[half:]
 
     rng = np.random.default_rng(0)
+    # NHWC uint8 — the layout the extraction dataset ships and
+    # normalize_uint8_images expects
     x = jax.device_put(
-        jnp.asarray(rng.integers(0, 255, (batch, 3, image_size, image_size), dtype=np.uint8))
+        jnp.asarray(rng.integers(0, 255, (batch, image_size, image_size, 3), dtype=np.uint8))
     )
     t0 = time.time()
     m, mf = encode_both(x)
@@ -100,7 +108,7 @@ def tunnel_rate(batch=64, iters=3, image_size=256):
     rng = np.random.default_rng(2)
     times = []
     for i in range(iters):
-        x = rng.integers(0, 255, (batch, 3, image_size, image_size), dtype=np.uint8)
+        x = rng.integers(0, 255, (batch, image_size, image_size, 3), dtype=np.uint8)
         t0 = time.time()
         jax.device_put(x).block_until_ready()
         times.append(time.time() - t0)

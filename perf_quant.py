@@ -34,7 +34,13 @@ def build(batch, num_steps, quant_mode):
     # param prep = hundreds of small eager ops; on the remote-compiled axon
     # backend each is a remote compile — build on the local CPU backend
     # (PERF.md "Driver startup"); the first sample call places the pytree
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    import contextlib
+
+    try:
+        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        prep_ctx = contextlib.nullcontext()
+    with prep_ctx:
         return _build(batch, num_steps, quant_mode)
 
 

@@ -106,7 +106,6 @@ def main(n=1024, steps=250):
         del fn, bundle
 
     # side-by-side grid (first 8 of each set; same noise/labels per column)
-    os.makedirs("runs", exist_ok=True)
     from PIL import Image
 
     rows = [np.concatenate(list(sets[name][:8]), axis=1) for name in ("bf16", "w8a8")]

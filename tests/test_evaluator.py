@@ -184,6 +184,43 @@ class TestFullReportPR:
         assert np.isfinite(rep["fid"]) and np.isfinite(rep["sfid"])
         assert rep["fid"] > 0
 
+    def test_npz_activation_cache_is_tap_keyed(self, npz_sets, tmp_path):
+        """A cached arr_1/arr_2 must not be served for a DIFFERENT
+        spatial_tap (same 2023-dim shape, different node — silent
+        cross-tap Fréchet otherwise). arr_tap records the writer's tap;
+        markerless caches are trusted only for the ADM default."""
+        from ldmae_tpu.eval.evaluator import _npz_has_members
+
+        p = str(tmp_path / "batch.npz")
+        rng = np.random.default_rng(3)
+        np.savez(p, arr_0=rng.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8))
+
+        ev_a = self._evaluator()
+        ev_a.spatial_tap = "tapA"
+        a1, a2 = ev_a.read_activations(p)           # computes + caches
+        assert _npz_has_members(p, ("arr_1", "arr_2", "arr_tap"))
+        with np.load(p) as f:
+            assert str(f["arr_tap"]) == "tapA"
+        a1_again, _ = ev_a.read_activations(p)      # same tap: cache served
+        np.testing.assert_array_equal(a1_again, a1)
+
+        ev_b = self._evaluator()
+        ev_b.spatial_tap = "tapB"
+        # a different tap must RECOMPUTE (we give tapB a shifted feature fn
+        # so serving the stale cache would be detectable)
+        base_fwd = ev_b._fwd
+
+        def shifted(x):
+            p_, s_ = base_fwd(x)
+            return p_ + 1.0, s_ + 1.0
+
+        ev_b._fwd = shifted
+        b1, _ = ev_b.read_activations(p)
+        assert not np.allclose(b1, a1), "stale cross-tap cache was served"
+        # and it must NOT have clobbered the original cache
+        with np.load(p) as f:
+            assert str(f["arr_tap"]) == "tapA"
+
     def test_monotone_in_overlap_and_identity(self, npz_sets):
         ev = self._evaluator()
         hi = ev.full_report(npz_sets["ref"], npz_sets["hi"])
