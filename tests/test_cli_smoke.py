@@ -208,6 +208,24 @@ class TestInferenceCLI:
         idxs = sorted(int(os.path.basename(q)[:-4]) for q in pngs)
         assert idxs == list(range(6)), (idxs, r.stdout[-1000:])
 
+        # --tp combined with --quant w8a8: the int8 layouts (w_q/w_scale for
+        # qkv/adaln, merged w12) go through the tp sharding rules end-to-end
+        out2 = tmp_path / "out_q"
+        import yaml
+
+        c = yaml.safe_load((tmp_path / "cfg.yaml").read_text())
+        c["train"]["output_dir"] = str(out2)
+        (tmp_path / "cfg_q.yaml").write_text(yaml.safe_dump(c))
+        r = subprocess.run(
+            [sys.executable, "-m", "ldmae_tpu.cli.inference", "--config",
+             str(tmp_path / "cfg_q.yaml"), "--skip_fid", "--tp", "2",
+             "--quant", "w8a8"],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        pngs = glob.glob(str(out2 / "**" / "*.png"), recursive=True)
+        assert len(pngs) == 6, r.stdout[-1000:]
+
 
 class TestTrainDiTCLI:
     def test_train_and_resume(self, tmp_path):
