@@ -44,6 +44,12 @@ def main(batch: int = 36, iters: int = 3, num_steps: int = 250):
         prep_ctx = contextlib.nullcontext()
     with prep_ctx:
         sample_jit, bundle = _build(num_steps)
+    # Commit the bundle to the accelerator ONCE (flatten-concat transfer);
+    # a host-committed bundle would silently re-upload ~565 MB of params on
+    # every timed call (-19% measured through the tunnel, round 4).
+    from ldmae_tpu.utils.placement import place_pytree
+
+    bundle = place_pytree(bundle)
     return _run(sample_jit, bundle, batch, iters, num_steps)
 
 
@@ -127,25 +133,38 @@ def _build(num_steps: int):
 def _run(sample_jit, bundle, batch: int, iters: int, num_steps: int):
     y = jnp.arange(batch, dtype=jnp.int32) % 1000
 
-    # warmup / compile
+    # The axon remote runtime's block_until_ready can return before the
+    # device execution has actually finished (deep async dispatch queue),
+    # which once made this loop time dispatch-only (~40x optimistic).
+    # Force completion with a device-side reduce + 4-byte host readback;
+    # the sum itself is negligible (one pass over 7 MB of uint8).
+    _checksum = jax.jit(lambda a: jnp.sum(a, dtype=jnp.uint32))
+
+    def _sync(x):
+        return int(_checksum(x))
+
+    # warmup / compile (also compiles _checksum)
     t0 = time.time()
     imgs = sample_jit(bundle, jax.random.key(42), y)
-    jax.block_until_ready(imgs)
+    _sync(imgs)
     compile_time = time.time() - t0
     assert imgs.shape == (batch, 256, 256, 3) and imgs.dtype == jnp.uint8
 
     times = []
+    checksums = []
     for i in range(iters):
         t0 = time.time()
         imgs = sample_jit(bundle, jax.random.key(i), y)
-        jax.block_until_ready(imgs)
+        checksums.append(_sync(imgs))
         times.append(time.time() - t0)
+    assert len(set(checksums)) == len(checksums), "identical outputs across keys"
 
     best = min(times)
     ips = batch / best
     print(
         f"# batch={batch} steps={num_steps} compile={compile_time:.1f}s "
-        f"times={['%.2f' % t for t in times]} device={jax.devices()[0]}",
+        f"times={['%.2f' % t for t in times]} checksums={checksums} "
+        f"device={jax.devices()[0]}",
         file=sys.stderr,
     )
     print(

@@ -79,7 +79,8 @@ def build_pipeline(config, ckpt_path=None, dit_params=None, demo=False):
     # quantization) is many small ops — on a remote-compiled TPU backend
     # each would be its own sub-second remote compile (minutes of wall
     # clock on a slow compile service). Run them on the local CPU backend;
-    # the first sample_fn call moves everything to the accelerator once.
+    # the sampling loop commits the bundle to the accelerator via
+    # place_pytree (a host-committed bundle re-uploads on every call).
     try:
         prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
     except RuntimeError:
@@ -258,6 +259,14 @@ def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = 
     elif tp > 1:
         print(f"WARNING: --tp {tp} ignored (n_local={n_local}, "
               f"per_proc_batch_size={per_batch} not divisible)")
+    if mesh is None and jax.default_backend() != "cpu":
+        # Single-device: commit the CPU-prepped bundle to the accelerator
+        # ONCE. Left host-committed, jit would re-upload the ~565 MB of
+        # params on EVERY batch (measured -19% sampling throughput through
+        # the tunneled rig, PERF.md round 4).
+        from ..utils.placement import place_pytree
+
+        bundle = place_pytree(bundle)
     done = 0
     t0 = time.time()
     for i in range(rank, n_batches, world):

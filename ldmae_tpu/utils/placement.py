@@ -1,0 +1,74 @@
+"""One-shot pytree device placement for slow-transfer links.
+
+Motivation (measured on the tunneled single-chip rig, round 4): a
+`jax.device_put` of a 565 MB / 68-leaf sampling bundle costs ~195 s —
+each leaf pays a fixed per-transfer RPC overhead (~1 s) on top of the
+~46 MB/s link rate — while leaving the bundle host-committed silently
+re-uploads the params on EVERY jitted call (the transfer partially hides
+behind device compute, but still cost ~8 s/call = -19% sampling
+throughput, and corrupts benchmark timing).
+
+`place_pytree` flattens the tree, concatenates the raveled leaves into
+ONE host buffer per dtype, ships each with a single `device_put`, and
+rebuilds the leaves on-device with one jitted slice/reshape program per
+dtype group: ~14 s for the same bundle, after which every leaf is
+device-committed and jitted calls never transfer again.
+
+The drivers use this after their CPU-backend param prep (see
+cli/inference.py) whenever they run unsharded; the sharded paths go
+through `parallel.shard_params`, whose per-leaf `device_put` lands on
+local mesh devices where the overhead doesn't exist.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["place_pytree"]
+
+
+def place_pytree(tree: Any, device: Optional[jax.Device] = None) -> Any:
+    """Return `tree` with every array leaf committed to `device`.
+
+    device defaults to jax.devices()[0] (the default backend's first
+    device). Non-array leaves (python scalars) are placed as 0-d arrays
+    of their numpy-inferred dtype, matching what jit would do.
+    """
+    if device is None:
+        device = jax.devices()[0]
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+
+    host = [np.asarray(leaf) for leaf in leaves]
+    groups: dict[str, list[int]] = {}
+    for i, arr in enumerate(host):
+        groups.setdefault(arr.dtype.str, []).append(i)
+
+    out: list[Any] = [None] * len(leaves)
+    for idxs in groups.values():
+        arrs = [host[i] for i in idxs]
+        flat = np.concatenate([a.ravel() for a in arrs]) if len(arrs) > 1 else arrs[0].ravel()
+        flat_dev = jax.device_put(flat, device)
+        shapes = [a.shape for a in arrs]
+        sizes = [a.size for a in arrs]
+
+        def unflatten(f, sizes=sizes, shapes=shapes):
+            pieces = []
+            off = 0
+            for sz, shp in zip(sizes, shapes):
+                pieces.append(lax.slice(f, (off,), (off + sz,)).reshape(shp))
+                off += sz
+            return pieces
+
+        # flat_dev is committed to `device`, so jit executes there.
+        pieces = jax.jit(unflatten)(flat_dev)
+        for i, piece in zip(idxs, pieces):
+            out[i] = piece
+
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -13,13 +13,19 @@ from ldmae_tpu.models.lightningdit import DiTConsts, dit_spec, init_dit_params, 
 from ldmae_tpu.utils.profiling import dit_forward_flops
 
 
+def _force(out):
+    """Forced host readback: axon block_until_ready can return before the
+    device execution finishes; a scalar fetch cannot."""
+    return float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+
+
 def timeit(name, fn, *args, iters=5, flops=None):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     dt = (time.time() - t0) / iters
     extra = f"  {flops / dt / 1e12:.1f} TF/s ({flops / dt / 197e12 * 100:.0f}% MFU)" if flops else ""
     print(f"{name:44s} {dt * 1000:8.2f} ms{extra}", flush=True)

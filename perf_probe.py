@@ -21,13 +21,19 @@ from ldmae_tpu.transport.samplers import forward_with_cfg
 from ldmae_tpu.utils.profiling import dit_forward_flops
 
 
+def _force(out):
+    """Forced host readback: axon block_until_ready can return before the
+    device execution finishes; a scalar fetch cannot."""
+    return float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+
+
 def timeit(name, fn, *args, iters=5, flops=None):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     dt = (time.time() - t0) / iters
     extra = ""
     if flops:

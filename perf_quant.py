@@ -33,7 +33,7 @@ from ldmae_tpu.transport import create_transport
 def build(batch, num_steps, quant_mode):
     # param prep = hundreds of small eager ops; on the remote-compiled axon
     # backend each is a remote compile — build on the local CPU backend
-    # (PERF.md "Driver startup"); the first sample call places the pytree
+    # (PERF.md "Driver startup"), then commit once via place_pytree
     import contextlib
 
     try:
@@ -41,7 +41,12 @@ def build(batch, num_steps, quant_mode):
     except RuntimeError:
         prep_ctx = contextlib.nullcontext()
     with prep_ctx:
-        return _build(batch, num_steps, quant_mode)
+        fn, bundle = _build(batch, num_steps, quant_mode)
+    # Commit the bundle to the accelerator once — host-committed params
+    # re-upload on every call through the tunnel (PERF.md round 4)
+    from ldmae_tpu.utils.placement import place_pytree
+
+    return fn, place_pytree(bundle)
 
 
 def _build(batch, num_steps, quant_mode):

@@ -38,11 +38,11 @@ def run(batch, attn, rope_layout="interleaved", remat="full", use_checkpoint=Tru
                "y": (jnp.arange(batch) % 1000).astype(jnp.int32)}
     rng = jax.random.key(2)
     state, m = step(state, batch_d, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # forced readback: axon block_until_ready may return early
     t0 = time.time(); iters = 5
     for _ in range(iters):
         state, m = step(state, batch_d, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # steps chain through donated state; forcing the last forces all
     dt = (time.time() - t0) / iters
     flops = 3 * dit_forward_flops(spec, batch)  # fwd + ~2x bwd
     print(f"train step b={batch} attn={attn} rope={rope_layout} remat={remat} "
