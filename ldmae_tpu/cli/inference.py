@@ -253,9 +253,17 @@ def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         y_sharding = NamedSharding(mesh, P(("dp", "fsdp")))
-        if tp > 1:
-            bundle = dict(bundle)
-            bundle["dit"] = shard_params(mesh, bundle["dit"], use_tp=True)
+        # Commit the WHOLE bundle to the mesh devices once: dit via the
+        # tp sharding rules (replicated when tp == 1), everything else
+        # (vae, latent stats) replicated via the one-buffer placement —
+        # an un-committed leaf re-uploads on every jitted call (the -19%
+        # single-device bug, PERF.md round 4, applies per-leaf here too).
+        from ..utils.placement import place_pytree
+
+        bundle = dict(bundle)
+        bundle["dit"] = shard_params(mesh, bundle["dit"], use_tp=tp > 1)
+        rest = {k: v for k, v in bundle.items() if k != "dit"}
+        bundle.update(place_pytree(rest, device=NamedSharding(mesh, P())))
     elif tp > 1:
         print(f"WARNING: --tp {tp} ignored (n_local={n_local}, "
               f"per_proc_batch_size={per_batch} not divisible)")

@@ -22,25 +22,40 @@ local mesh devices where the overhead doesn't exist.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.sharding import Sharding
 
 __all__ = ["place_pytree"]
 
 
-def place_pytree(tree: Any, device: Optional[jax.Device] = None) -> Any:
+def place_pytree(
+    tree: Any, device: Optional[Union[jax.Device, Sharding]] = None
+) -> Any:
     """Return `tree` with every array leaf committed to `device`.
 
     device defaults to jax.devices()[0] (the default backend's first
-    device). Non-array leaves (python scalars) are placed as 0-d arrays
-    of their numpy-inferred dtype, matching what jit would do.
+    device). It may also be a (fully-replicated) `jax.sharding.Sharding` —
+    e.g. ``NamedSharding(mesh, P())`` — to commit every leaf replicated
+    over a mesh's devices in the same one-buffer-per-dtype transfer (the
+    multi-device analogue: an un-committed bundle re-uploads per call there
+    too). Shardings that would split a leaf make no sense for the single
+    concatenated buffer and are not supported. Non-array leaves (python
+    scalars) are placed as 0-d arrays of their numpy-inferred dtype,
+    matching what jit would do.
     """
     if device is None:
         device = jax.devices()[0]
+    is_sharding = isinstance(device, Sharding)
+    if is_sharding and not device.is_fully_replicated:
+        raise ValueError(
+            "place_pytree only supports fully-replicated shardings "
+            f"(got {device})"
+        )
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if not leaves:
         return tree
@@ -66,8 +81,12 @@ def place_pytree(tree: Any, device: Optional[jax.Device] = None) -> Any:
                 off += sz
             return pieces
 
-        # flat_dev is committed to `device`, so jit executes there.
-        pieces = jax.jit(unflatten)(flat_dev)
+        # flat_dev is committed to `device`, so jit executes there; with a
+        # sharding destination, pin the outputs replicated explicitly.
+        if is_sharding:
+            pieces = jax.jit(unflatten, out_shardings=device)(flat_dev)
+        else:
+            pieces = jax.jit(unflatten)(flat_dev)
         for i, piece in zip(idxs, pieces):
             out[i] = piece
 

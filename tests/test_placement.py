@@ -59,6 +59,32 @@ def test_explicit_device_target():
         assert list(leaf.devices()) == [dev]
 
 
+def test_replicated_sharding_target():
+    """The multi-device analogue (cli.inference mesh path): every leaf
+    lands fully replicated and committed over the mesh devices."""
+    import pytest
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, ("dp", "tp"))
+    repl = NamedSharding(mesh, P())
+    tree = _tree()
+    out = place_pytree(tree, device=repl)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert isinstance(leaf, jax.Array)
+        assert leaf.sharding.is_fully_replicated
+        assert leaf.devices() == set(devices.ravel())
+    np.testing.assert_array_equal(np.asarray(out["w"]), tree["w"])
+    np.testing.assert_array_equal(np.asarray(out["u8"]), tree["u8"])
+    assert out["bf16"].dtype == jnp.bfloat16
+    with jax.transfer_guard("disallow"):
+        val = jax.jit(lambda t: t["w"].sum())(out)
+    assert np.isfinite(float(val))
+    # splitting shardings are rejected, not silently mis-placed
+    with pytest.raises(ValueError, match="fully-replicated"):
+        place_pytree(tree, device=NamedSharding(mesh, P("dp")))
+
+
 def test_empty_and_single_leaf():
     assert place_pytree({}) == {}
     out = place_pytree([np.ones((3,), np.float32)])
