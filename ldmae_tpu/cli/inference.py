@@ -54,8 +54,14 @@ class AsyncPngWriter:
                 self.q.task_done()
                 break
             images, indices = item
-            paths = [os.path.join(self.out_dir, f"{int(i):06d}.png") for i in indices]
-            write_pngs(images, paths, level=1, num_threads=self.workers)
+            # crash-atomic: encode to .tmp then rename, so a kill mid-write
+            # can never leave a truncated .png — the batch-level resume
+            # (do_sample) treats any existing .png as complete
+            names = [f"{int(i):06d}.png" for i in indices]
+            tmp = [os.path.join(self.out_dir, n + ".tmp") for n in names]
+            write_pngs(images, tmp, level=1, num_threads=self.workers)
+            for t, n in zip(tmp, names):
+                os.replace(t, os.path.join(self.out_dir, n))
             self.q.task_done()
 
     def submit(self, images: np.ndarray, indices):
@@ -195,12 +201,18 @@ def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = 
     s = config.sample
 
     # resume BEFORE the (checkpoint-loading) pipeline build: skip if enough
-    # pngs exist (inference.py:67-77)
+    # pngs exist (inference.py:67-77). Beyond the reference's all-or-nothing
+    # skip, completed BATCHES are also skipped below (hours-scale 50k runs
+    # must survive preemption without resampling from batch 0).
     fid_num = s.fid_num
+    have = set()
     if not demo and os.path.isdir(out_dir):
-        existing = len([f for f in os.listdir(out_dir) if f.endswith(".png")])
-        if existing >= fid_num:
-            print(f"{out_dir} already has {existing} >= {fid_num} pngs, skipping")
+        have = {
+            int(f[:-4]) for f in os.listdir(out_dir)
+            if f.endswith(".png") and f[:-4].isdigit()
+        }
+        if len(have) >= fid_num:
+            print(f"{out_dir} already has {len(have)} >= {fid_num} pngs, skipping")
             return out_dir
 
     sample_fn, bundle, spec = build_pipeline(config, demo=demo)
@@ -261,9 +273,16 @@ def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = 
         from ..utils.placement import place_pytree
 
         bundle = dict(bundle)
-        bundle["dit"] = shard_params(mesh, bundle["dit"], use_tp=tp > 1)
-        rest = {k: v for k, v in bundle.items() if k != "dit"}
-        bundle.update(place_pytree(rest, device=NamedSharding(mesh, P())))
+        if tp > 1:
+            bundle["dit"] = shard_params(mesh, bundle["dit"], use_tp=True)
+            rest = {k: v for k, v in bundle.items() if k != "dit"}
+            bundle.update(place_pytree(rest, device=NamedSharding(mesh, P())))
+        else:
+            # tp==1: everything is replicated — commit the WHOLE bundle via
+            # the one-buffer-per-dtype path (shard_params' per-leaf
+            # device_put costs one transfer RPC per leaf, ~1 s each through
+            # a tunneled link; advisor r4)
+            bundle = place_pytree(bundle, device=NamedSharding(mesh, P()))
     elif tp > 1:
         print(f"WARNING: --tp {tp} ignored (n_local={n_local}, "
               f"per_proc_batch_size={per_batch} not divisible)")
@@ -275,23 +294,34 @@ def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = 
         from ..utils.placement import place_pytree
 
         bundle = place_pytree(bundle)
-    done = 0
+    done = skipped = 0
     t0 = time.time()
     for i in range(rank, n_batches, world):
         key = jax.random.key(config.train.global_seed * 100003 + i)
-        y = jnp.asarray(
-            rng.integers(0, config.data.num_classes, size=per_batch), jnp.int32
-        )
-        if mesh is not None:
-            y = jax.device_put(y, y_sharding)
-        imgs = np.asarray(sample_jit(bundle, key, y))
+        # labels are drawn for EVERY batch index this rank owns — even
+        # skipped ones — so the label stream (and hence every image) is
+        # identical whether the run is fresh or resumed mid-way
+        y_host = rng.integers(0, config.data.num_classes, size=per_batch)
         indices = np.arange(i * per_batch, i * per_batch + per_batch)
         keep = indices < fid_num
+        if have and all(int(j) in have for j in indices[keep]):
+            skipped += int(keep.sum())
+            continue
+        y = jnp.asarray(y_host, jnp.int32)
+        if mesh is not None:
+            y = jax.device_put(y, y_sharding)
+        tb = time.time()
+        imgs = np.asarray(sample_jit(bundle, key, y))
+        dt = time.time() - tb
         writer.submit(imgs[keep], indices[keep])
         done += int(keep.sum())
         print(
             f"[rank {rank}] batch {i + 1}/{n_batches} "
-            f"({done} imgs, {done / (time.time() - t0):.2f} img/s)"
+            f"({done} imgs, {done / (time.time() - t0):.2f} img/s, "
+            f"last {per_batch / dt:.2f} img/s"
+            + (f", {skipped} resumed" if skipped else "")
+            + f") {time.strftime('%H:%M:%S')}",
+            flush=True,
         )
     writer.close()
     return out_dir

@@ -15,9 +15,12 @@ dtype group: ~14 s for the same bundle, after which every leaf is
 device-committed and jitted calls never transfer again.
 
 The drivers use this after their CPU-backend param prep (see
-cli/inference.py) whenever they run unsharded; the sharded paths go
-through `parallel.shard_params`, whose per-leaf `device_put` lands on
-local mesh devices where the overhead doesn't exist.
+cli/inference.py) whenever they run unsharded — and on a mesh, for every
+replicated part of the bundle, via a fully-replicated
+``NamedSharding(mesh, P())`` destination (including the DiT itself when
+tp == 1). Only genuinely tensor-parallel weights (tp > 1) go through
+`parallel.shard_params`, whose per-leaf `device_put` is unavoidable for
+split layouts.
 """
 
 from __future__ import annotations

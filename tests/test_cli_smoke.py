@@ -227,6 +227,61 @@ class TestInferenceCLI:
         assert len(pngs) == 6, r.stdout[-1000:]
 
 
+class TestInferenceResume:
+    def test_batch_resume_matches_fresh(self, tmp_path):
+        """Mid-run restart must skip completed batches AND produce the
+        byte-identical remaining images: the per-batch label stream is drawn
+        for every batch index whether or not the batch is skipped
+        (cli/inference.py do_sample), so resumed != resampled-from-0."""
+        import shutil
+
+        import yaml
+
+        from ldmae_tpu.cli.inference import do_sample
+        from ldmae_tpu.core.config import LDMAEConfig
+
+        cfg = {
+            "data": {
+                "data_path": str(tmp_path / "nolatents"),
+                "image_size": 64,
+                "num_classes": 16,
+                "latent_norm": True,
+                "sample": True,
+            },
+            "vae": {"model_name": "vmae_f8d16", "downsample_ratio": 8, "weight_path": ""},
+            "model": {"model_type": "LightningDiT-debug", "in_chans": 16,
+                      "use_qknorm": True, "use_swiglu": True, "use_rope": True,
+                      "use_rmsnorm": True},
+            "train": {"output_dir": str(tmp_path / "out"), "exp_name": "resume"},
+            "sample": {"num_sampling_steps": 2, "cfg_scale": 4.0,
+                       "per_proc_batch_size": 4, "fid_num": 12},
+        }
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        config = LDMAEConfig.from_yaml(str(p))
+
+        # fresh full run: 3 batches of 4
+        dir_a = do_sample(config, out_root=str(tmp_path / "A"))
+        names = sorted(os.listdir(dir_a))
+        assert names == [f"{i:06d}.png" for i in range(12)]
+
+        # resumed run: batches 0-1 already on disk, batch 2 partially
+        # (a partial batch must be REgenerated — its files may predate a
+        # crash of unknown state)
+        dir_b = os.path.join(str(tmp_path / "B"), os.path.basename(dir_a))
+        os.makedirs(dir_b)
+        for i in range(8):
+            shutil.copy(os.path.join(dir_a, f"{i:06d}.png"), dir_b)
+        shutil.copy(os.path.join(dir_a, "000008.png"), dir_b)
+        ret = do_sample(config, out_root=str(tmp_path / "B"))
+        assert ret == dir_b
+        for i in range(12):
+            a = open(os.path.join(dir_a, f"{i:06d}.png"), "rb").read()
+            b = open(os.path.join(dir_b, f"{i:06d}.png"), "rb").read()
+            assert a == b, f"image {i} differs between fresh and resumed runs"
+        assert not [f for f in os.listdir(dir_b) if f.endswith(".tmp")]
+
+
 class TestTrainDiTCLI:
     def test_train_and_resume(self, tmp_path):
         import yaml
