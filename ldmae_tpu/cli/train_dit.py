@@ -59,8 +59,10 @@ def main():
     parser.add_argument("--profile_steps", type=int, default=5,
                         help="number of steps to trace")
     parser.add_argument(
-        "--peak_tflops", type=float, default=197.0,
-        help="per-chip peak bf16 TFLOP/s for the live MFU log (197 = v5e)",
+        "--peak_tflops", type=float, default=None,
+        help="per-chip peak bf16 TFLOP/s for the live MFU log (default: "
+             "resolved from the TPU device kind, e.g. 197 for v5e; unknown "
+             "backends log 'MFU n/a')",
     )
     args = parser.parse_args()
 
@@ -222,10 +224,15 @@ def main():
     train_steps = int(state.step)
     # live MFU accounting (PERF.md convention: useful FLOPs = fwd + ~2x bwd
     # of the *forward* count; remat recompute is not useful work)
-    from ..utils.profiling import dit_forward_flops, trace as profiler_trace
+    from ..utils.profiling import (
+        dit_forward_flops, format_tflops_mfu, resolve_peak_flops,
+        trace as profiler_trace,
+    )
 
     step_useful_flops = 3 * dit_forward_flops(spec, config.train.global_batch_size)
-    chip_peak = args.peak_tflops * 1e12 * jax.device_count()
+    assert step_useful_flops > 0, "flops-per-step accounting returned zero"
+    peak = resolve_peak_flops(args.peak_tflops)
+    chip_peak = peak * jax.device_count() if peak else None
     profile_ctx = None
     start = time.time()
     logger.info(f"training for {config.train.max_steps} steps "
@@ -281,15 +288,17 @@ def main():
             jax.block_until_ready(pending_losses[-1])
             dt = time.time() - start
             avg_loss = float(jnp.mean(jnp.stack(pending_losses)))
-            tfs = step_useful_flops * log_steps / dt / 1e12
+            flops_done = step_useful_flops * log_steps
             logger.info(
                 f"(step={train_steps:07d}) Train Loss: {avg_loss:.4f}, "
                 f"Train Steps/Sec: {log_steps / dt:.2f}, "
-                f"TFLOP/s: {tfs:.1f} ({tfs * 1e12 / chip_peak * 100:.0f}% MFU)"
+                + format_tflops_mfu(flops_done, dt, chip_peak)
             )
             if writer is not None:
                 writer.add_scalar("Loss/train", avg_loss, train_steps)
-                writer.add_scalar("Perf/mfu", tfs * 1e12 / chip_peak, train_steps)
+                writer.add_scalar("Perf/tflops", flops_done / dt / 1e12, train_steps)
+                if chip_peak:
+                    writer.add_scalar("Perf/mfu", flops_done / dt / chip_peak, train_steps)
             pending_losses, log_steps = [], 0
             start = time.time()
 

@@ -144,7 +144,13 @@ def dit_param_spec(
             return spec(_fs(fsdp), "tp")
         if name.endswith("w1/b") or name.endswith("w2/b"):
             return spec("tp")
-        if name.endswith("w3/w"):
+        # w3 contracts the tp-sharded hidden dim; its int8 layout (L, H, D)
+        # mirrors the fp rule (w_q rule added after test_prod_sampling
+        # caught it replicating 240 MB/layer-stack at 1p6B under tp-only —
+        # the fsdp fallback had masked it in the train-side proof). The
+        # per-out-channel w_scale (L, D) stays replicated: it rescales
+        # AFTER the tp psum.
+        if name.endswith("w3/w") or "w3/w_q" in name:
             return spec("tp", _fs(fsdp))
         if "fc1/w" in name:
             return spec(_fs(fsdp), "tp")

@@ -115,8 +115,16 @@ class StepTimer:
     """Steps/sec + MFU tracking around a jitted step (the reference's
     cuda.synchronize + time() pattern, train_accum.py:255-259)."""
 
-    def __init__(self, flops_per_step: Optional[float] = None, peak_flops: float = 197e12):
+    def __init__(
+        self,
+        flops_per_step: Optional[float] = None,
+        peak_flops: Optional[float] = None,
+    ):
         self.flops_per_step = flops_per_step
+        if peak_flops is None:
+            from .profiling import resolve_peak_flops
+
+            peak_flops = resolve_peak_flops()  # None on unknown backends
         self.peak_flops = peak_flops
         self.reset()
 
@@ -134,6 +142,8 @@ class StepTimer:
 
     @property
     def mfu(self) -> Optional[float]:
-        if self.flops_per_step is None:
+        # None (not 0) whenever flops or the backend peak are unknown — a
+        # reported 0 must always mean genuinely zero work
+        if self.flops_per_step is None or not self.peak_flops:
             return None
         return self.steps_per_sec * self.flops_per_step / self.peak_flops

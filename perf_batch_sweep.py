@@ -24,10 +24,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from perf_quant import build
 
 
-def measure(batch, steps, iters=3):
+def measure(batch, steps, iters=3, quant=None):
     """Compile + time the full sampling pipeline at this batch size."""
     try:
-        fn, bundle = build(batch, steps, None)
+        fn, bundle = build(batch, steps, quant)
     except Exception as e:  # noqa: BLE001 — report and move on to next size
         print(f"b={batch}: BUILD FAILED {type(e).__name__}: {e}", flush=True)
         return None
@@ -51,15 +51,18 @@ def measure(batch, steps, iters=3):
 
 
 def main():
+    # usage: perf_batch_sweep.py [steps] [w8|w8a8] [batches...]
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 250
-    batches = [int(b) for b in sys.argv[2:]] or [36, 40, 48, 64]
+    rest = sys.argv[2:]
+    quant = rest[0] if rest and not rest[0].isdigit() else None
+    batches = [int(b) for b in rest if b.isdigit()] or [36, 40, 48, 64]
     results = {}
     for b in batches:
-        r = measure(b, steps)
+        r = measure(b, steps, quant=quant)
         if r is not None:
             results[b] = r
     best = max(results, key=results.get) if results else None
-    print(f"sweep done: {results}  best=b{best}", flush=True)
+    print(f"sweep done ({quant or 'bf16'}): {results}  best=b{best}", flush=True)
 
 
 if __name__ == "__main__":

@@ -63,7 +63,9 @@ class TestTrainVMAECLI:
         assert len(log) == 2  # one JSON line per epoch
         rec = json.loads(log[-1])
         assert "train_loss" in rec and np.isfinite(rec["train_loss"])
-        assert rec["train_img_per_sec"] > 0 and rec["train_mfu"] > 0
+        assert rec["train_img_per_sec"] > 0 and rec["train_tflops"] > 0
+        # CPU backend has no known peak: mfu must be null, never a bogus 0
+        assert rec["train_mfu"] is None
         # checkpoint written
         assert (out / "checkpoints").is_dir()
         # jax.profiler trace captured
@@ -376,11 +378,31 @@ class TestTrainDiTCLI:
         r = subprocess.run(cmd, env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900)
         assert r.returncode == 0, r.stderr[-3000:]
         log = (tmp_path / "out" / "prof" / "log.txt").read_text()
-        assert "% MFU" in log
+        # CPU backend has no known peak: the meter must say so, not print a
+        # misleading "0.0 (0% MFU)" (VERDICT r4 weak #3) — and the measured
+        # TFLOP/s must be a real nonzero number
+        assert "MFU n/a" in log
+        import re
+
+        tfs = [float(v) for v in re.findall(r"TFLOP/s: ([0-9.e+-]+)", log)]
+        assert tfs and all(v > 0 for v in tfs), log
         assert "profiler trace written" in log
         # jax.profiler writes plugins/profile/<ts>/*.xplane.pb under the dir
         found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
         assert any(f.endswith(".xplane.pb") for f in found), found
+
+        # with an explicit peak the percent path engages and is nonzero on
+        # the CPU train step
+        cfg["train"]["exp_name"] = "prof2"
+        cfg["train"]["max_steps"] = 2
+        p.write_text(yaml.safe_dump(cfg))
+        cmd2 = [sys.executable, "-m", "ldmae_tpu.cli.train_dit", "--config", str(p),
+                "--peak_tflops", "0.001"]
+        r = subprocess.run(cmd2, env=ENV, cwd=REPO, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        log2 = (tmp_path / "out" / "prof2" / "log.txt").read_text()
+        mfus = [float(v) for v in re.findall(r"\(([0-9.e+-]+)% MFU\)", log2)]
+        assert mfus and all(v > 0 for v in mfus), log2
 
 
 class TestWarmStartHalfRope:

@@ -54,6 +54,36 @@ class TestStepTimer:
         assert t.steps_per_sec > 0
         assert t.mfu is not None
 
+    def test_mfu_none_when_peak_unknown(self):
+        # CPU backend resolves no peak: mfu must be None, never 0
+        t = StepTimer(flops_per_step=197e12)
+        t.tick(10)
+        time.sleep(0.01)
+        assert t.steps_per_sec > 0
+        assert t.mfu is None
+
+
+class TestMFUFormatting:
+    def test_resolve_peak(self):
+        from ldmae_tpu.utils.profiling import resolve_peak_flops
+
+        # explicit value always wins (CLI --peak_tflops)
+        assert resolve_peak_flops(197.0) == 197e12
+        # tests run on the CPU backend: no table entry -> None
+        assert resolve_peak_flops() is None
+
+    def test_format_never_rounds_work_to_zero(self):
+        from ldmae_tpu.utils.profiling import format_tflops_mfu
+
+        # the r4 CPU soak regression: 0.026 TFLOP/s printed as "0.0 (0% MFU)"
+        s = format_tflops_mfu(0.026e12 * 12, 12.0, None)
+        assert "0.026" in s and "MFU n/a" in s and "0% MFU" not in s
+        s = format_tflops_mfu(0.026e12 * 12, 12.0, 197e12)
+        assert "0.026" in s and "0.0132% MFU" in s
+        # a known peak renders a sane percent at realistic rates
+        s = format_tflops_mfu(69e12, 1.0, 197e12)
+        assert "35% MFU" in s
+
 
 class TestProfiling:
     def test_flops_estimate_scales(self):
