@@ -112,11 +112,78 @@ def main() -> None:
     state, metrics = jax.jit(step)(state, batch, jax.random.key(5))
     loss = float(np.asarray(metrics["loss"].addressable_data(0)))
 
+    # --- PROCESS-SPANNING dp x tp mesh (VERDICT r4 next #4) ----------------
+    # The topology a real multi-host pod uses: dp ACROSS the 2 processes x
+    # tp WITHIN each process's 2 devices (create_mesh reshapes jax.devices()
+    # process-major, so the tp axis lands on intra-process pairs — the ICI
+    # analogue; reference: one-process-per-GPU DDP, misc.py:367-402).
+    # Same global batch, params sharded by the tp rules, per-process data:
+    # the loss must equal the unsharded single-process run (parent checks).
+    from ldmae_tpu.parallel.mesh import dit_param_spec
+
+    tmesh = create_mesh(dp=2, tp=2)
+    assert tmesh.devices.shape == (2, 1, 2)
+    # every (dp, tp) coordinate must pair one device from each process on
+    # dp and two same-process devices on tp
+    for dpi in range(2):
+        procs = {d.process_index for d in tmesh.devices[dpi, 0, :]}
+        assert len(procs) == 1, f"tp axis crosses processes: {procs}"
+    assert {d.process_index for d in tmesh.devices[:, 0, 0]} == {0, 1}
+
+    def _state_shardings(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, l: NamedSharding(
+                tmesh, dit_param_spec(p, l, False, True, tmesh)
+            ),
+            tree,
+        )
+
+    state_shapes = jax.eval_shape(
+        lambda: init_train_state(init_dit_params(jax.random.key(0), spec), tx)
+    )
+    state_sh = _state_shardings(state_shapes)
+    state_tp = jax.jit(
+        lambda: init_train_state(init_dit_params(jax.random.key(0), spec), tx),
+        out_shardings=state_sh,
+    )()
+    batch_tp = shard_batch(tmesh, {"x": gx[:, lo:hi], "y": gy[:, lo:hi]}, axis=1)
+    _, metrics_tp = jax.jit(step)(state_tp, batch_tp, jax.random.key(5))
+    loss_tp = float(np.asarray(metrics_tp["loss"].addressable_data(0)))
+
+    # --- inference local-mesh rule alongside the global backend ------------
+    # do_sample builds a mesh over THIS PROCESS's devices only (ranks sample
+    # disjoint batches independently, cli/inference.py:246-256): that local
+    # program must run while jax.distributed is live, and with identical
+    # (key, labels) both ranks must decode identical latents.
+    from ldmae_tpu.eval.sampling import make_sample_fn
+    from ldmae_tpu.parallel import shard_params
+
+    lmesh = create_mesh(dp=-1, tp=2, devices=jax.local_devices())
+    assert lmesh.shape["tp"] == 2 and lmesh.shape["dp"] == 1
+    sfn = make_sample_fn(
+        spec, consts, transport, num_steps=2, sampling_method="euler",
+        cfg_scale=4.0, cfg_interval=False, cfg_channels=3,
+        compute_dtype=jnp.float32,
+    )
+    sparams = shard_params(lmesh, init_dit_params(jax.random.key(7), spec), use_tp=True)
+    bundle = {"dit": sparams, "vae": None, "latent_mean": None, "latent_std": None}
+    ys = jax.device_put(
+        jnp.arange(4, dtype=jnp.int32) % 8, NamedSharding(lmesh, P(("dp", "fsdp")))
+    )
+    lat = np.asarray(jax.jit(sfn)(bundle, jax.random.key(11), ys))
+    assert lat.shape == (4, 4, 4, 4), lat.shape
+    sample_sum = float(np.abs(lat).sum())
+    sums = np.asarray(
+        multihost_utils.process_allgather(jnp.float32(sample_sum))
+    ).ravel()
+    local_mesh_agree = bool(np.allclose(sums, sums[0], rtol=1e-5))
+
     barrier("end-of-test")
     print(
         f"RESULT rank={rank} main={is_main_process()} sum={total} "
         f"n_local={len(labels)} disjoint={disjoint} complete={complete} "
-        f"dit_loss={loss:.6f}",
+        f"dit_loss={loss:.6f} dit_loss_tp={loss_tp:.6f} "
+        f"local_mesh_agree={local_mesh_agree}",
         flush=True,
     )
 

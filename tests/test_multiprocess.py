@@ -107,6 +107,16 @@ def test_two_process_rendezvous_psum_and_sharding(latent_dir):
         results["0"]["dit_loss"], ref,
     )
 
+    # PROCESS-SPANNING dp x tp mesh (VERDICT r4 next #4): the dp(2 proc) x
+    # tp(2 dev) global train step must reproduce the same loss, and the
+    # inference local-mesh rule must hold alongside the live global backend
+    assert results["0"]["dit_loss_tp"] == results["1"]["dit_loss_tp"]
+    assert abs(float(results["0"]["dit_loss_tp"]) - ref) < 5e-4, (
+        results["0"]["dit_loss_tp"], ref,
+    )
+    for r in results.values():
+        assert r["local_mesh_agree"] == "True"
+
 
 def _single_process_dit_loss() -> float:
     """The same tiny DiT step the worker runs, unsharded in this process."""
