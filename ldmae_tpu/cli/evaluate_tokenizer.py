@@ -39,13 +39,24 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     os.makedirs(save_dir, exist_ok=True)
 
     # tokenizer dispatch on config.vae.model_name (the reference builds VMAE
-    # or the SD-VAE here, evaluate_tokenizer.py:57-95)
-    tok = build_tokenizer_fns(
-        config.vae.model_name, config.vae.weight_path, config.data.image_size
-    )
-    params = tok.params
+    # or the SD-VAE here, evaluate_tokenizer.py:57-95). Param init/loading
+    # runs on the local CPU backend (PERF.md "Driver startup" — each small
+    # eager op is a remote compile on the axon backend), then commits once.
+    import contextlib
 
-    lpips_params = load_lpips_params()
+    try:
+        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        prep_ctx = contextlib.nullcontext()
+    with prep_ctx:
+        tok = build_tokenizer_fns(
+            config.vae.model_name, config.vae.weight_path, config.data.image_size
+        )
+        lpips_params = load_lpips_params()
+    from ..utils.placement import place_pytree
+
+    placed = place_pytree({"tok": tok.params, "lpips": lpips_params})
+    params, lpips_params = placed["tok"], placed["lpips"]
 
     # latent std for the robustness perturbation: the reference loads
     # latents_stats.pt (evaluate_tokenizer.py:116-123); fall back to the

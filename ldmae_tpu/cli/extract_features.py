@@ -56,11 +56,26 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     # tokenizer dispatch on config.vae.model_name (VMAE or SD-VAE in the
-    # reference, extract_features.py:57-99; plus vavae/marvae wrappers)
-    tok = build_tokenizer_fns(
-        config.vae.model_name, config.vae.weight_path, config.data.image_size
-    )
-    params = tok.params
+    # reference, extract_features.py:57-99; plus vavae/marvae wrappers).
+    # Build on the local CPU backend like the other drivers (PERF.md
+    # "Driver startup"): param init is hundreds of small eager ops, each its
+    # own remote compile on the axon backend — on a degraded compile
+    # service this alone exceeded the 25-min job timeout (round 5).
+    import contextlib
+
+    try:
+        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        prep_ctx = contextlib.nullcontext()
+    with prep_ctx:
+        tok = build_tokenizer_fns(
+            config.vae.model_name, config.vae.weight_path, config.data.image_size
+        )
+    # commit once to the accelerator (a host-committed tree re-uploads per
+    # call; utils/placement.py)
+    from ..utils.placement import place_pytree
+
+    params = place_pytree(tok.params)
 
     from ..ops.gaussian import diagonal_gaussian
     from ..utils.prefetch import Prefetcher

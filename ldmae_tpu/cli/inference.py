@@ -324,6 +324,13 @@ def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = 
             flush=True,
         )
     writer.close()
+    dt = time.time() - t0
+    print(
+        f"[rank {rank}] sampling done: {done} generated"
+        + (f" + {skipped} resumed" if skipped else "")
+        + f" in {dt / 3600:.2f} h ({done / dt:.3f} img/s sustained incl. compile)",
+        flush=True,
+    )
     return out_dir
 
 

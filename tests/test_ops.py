@@ -377,6 +377,7 @@ class TestFusedAdaLN:
             np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
 
+    @pytest.mark.slow  # fast-tier budget on the 1-core rig (VERDICT r4 weak #5)
     def test_dit_forward_fused_matches_xla(self):
         from ldmae_tpu.models.lightningdit import (
             DiTConsts, dit_forward, dit_spec, init_dit_params,
@@ -433,6 +434,7 @@ class TestFusedMatmulSilu:
         out = swiglu_ffn(x, p, impl="fused")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.slow  # fast-tier budget on the 1-core rig (VERDICT r4 weak #5)
     def test_dit_forward_mlp_impl_parity(self):
         from ldmae_tpu.models.lightningdit import (
             DiTConsts, DiTSpec, dit_forward, init_dit_params, merge_swiglu,

@@ -33,6 +33,7 @@ def tree_allclose(a, b):
 
 
 class TestDiTRoundTrip:
+    @pytest.mark.slow  # fast-tier budget on the 1-core rig (VERDICT r4 weak #5)
     def test_export_import_identity(self):
         spec = DiTSpec(
             input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2,

@@ -57,6 +57,7 @@ class TestFreeze:
             expected = "decoder" in top or top == "from_latent"
             assert v == expected, (top, v)
 
+    @pytest.mark.slow  # fast-tier budget on the 1-core rig (VERDICT r4 weak #5)
     def test_frozen_params_unchanged(self):
         spec = VMAESpec(
             img_size=16, patch_size=4, embed_dim=24, depth=2, num_heads=4,
@@ -93,6 +94,7 @@ class TestFreeze:
 
 
 class TestStage1:
+    @pytest.mark.slow  # fast-tier budget on the 1-core rig (VERDICT r4 weak #5)
     def test_loss_decreases(self):
         consts = VMAEConsts(SPEC)
         params = init_vmae_params(jax.random.key(0), SPEC)
