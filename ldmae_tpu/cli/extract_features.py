@@ -147,6 +147,13 @@ def main():
     if rank == 0:
         ds = ImgLatentDataset(out_dir, latent_norm=True, sample=store_moments)
         print(f"latent stats cached; mean[:4]={ds._latent_mean.ravel()[:4]}")
+    # re-sync before exit: without this, non-zero ranks reach the JAX
+    # atexit shutdown barrier while rank 0 is still scanning shards for
+    # stats; on a loaded host the skew exceeds the coordination-service
+    # shutdown timeout and it KILLS rank 0 mid-stats ("Shutdown barrier
+    # has failed"). The reference exits through DDP destroy which has the
+    # same rendezvous semantics.
+    barrier("extract_stats_done")
 
 
 if __name__ == "__main__":

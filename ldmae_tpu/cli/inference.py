@@ -386,6 +386,14 @@ def main():
             [ref, out_dir], sp_len=config.sample.fid_num
         )
         print(f"FID: {fid:.6f}")
+    # re-sync before exit: rank 0's trailing FID pass takes minutes; if the
+    # other ranks reach the JAX atexit shutdown barrier meanwhile, the
+    # coordination service times out and kills rank 0 mid-FID ("Shutdown
+    # barrier has failed"). Mirrors the trailing dist.barrier semantics of
+    # the reference's DDP teardown.
+    from ..parallel.distributed import barrier
+
+    barrier("inference_done")
 
 
 if __name__ == "__main__":

@@ -86,6 +86,11 @@ def save_npz(
 
     out_path = out_path or (sample_dir.rstrip("/") + ".npz")
     _write_npz_streaming(out_path, "arr_0", shape, np.uint8, batches())
+    import resource
+
+    peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(f"save_npz: {num} images, peak RSS {peak_kb / 1024:.0f} MB "
+          f"(streaming writer; the reference stacks all rows in RAM)")
     return out_path
 
 

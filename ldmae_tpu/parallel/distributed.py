@@ -79,6 +79,19 @@ def init_distributed_mode(
         jax.distributed.initialize()
     # else: single process — nothing to do
 
+    if jax.distributed.is_initialized():
+        # Establish the cross-process collective context NOW, while rank
+        # skew is seconds (the reference's init_process_group does the
+        # same for NCCL/gloo, misc.py:396-402). Deferring it to the first
+        # real collective — which can sit behind minutes of per-rank
+        # param-prep compiles — let the backend's 30 s context-init
+        # key-value exchange time out on a loaded host (observed as
+        # "Gloo context initialization failed: DEADLINE_EXCEEDED" in the
+        # 2-process driver tests).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ldmae:init_distributed_mode")
+
 
 def get_rank() -> int:
     return jax.process_index()
@@ -92,10 +105,34 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def barrier(name: str = "barrier") -> None:
-    """Cross-process sync (the reference's dist.barrier)."""
+_barrier_seq: dict = {}
+
+
+def barrier(name: str = "barrier", timeout_s: int = 1800) -> None:
+    """Cross-process sync (the reference's dist.barrier).
+
+    Goes through the coordination-service KV barrier, NOT a device
+    collective: `multihost_utils.sync_global_devices` lowers to a gloo
+    allreduce on the CPU backend whose context/op timeout (~30 s) cannot
+    absorb real rank skew — e.g. rank 0 scanning latent shards for stats
+    or running a trailing FID pass while the other ranks wait (observed
+    as "Gloo ... DEADLINE_EXCEEDED" → cascade into "Shutdown barrier has
+    failed" in the 2-process driver tests). The KV barrier takes an
+    explicit timeout and holds no collective context. Barrier ids are
+    made unique per call site+sequence so the service never sees a
+    reused id; all processes call barriers in program order, so the
+    per-name counters agree across ranks.
+    """
     if jax.process_count() == 1:
         return
-    from jax.experimental import multihost_utils
+    from jax._src import distributed as _dist
 
-    multihost_utils.sync_global_devices(name)
+    client = getattr(_dist.global_state, "client", None)
+    if client is not None:
+        seq = _barrier_seq.get(name, 0)
+        _barrier_seq[name] = seq + 1
+        client.wait_at_barrier(f"ldmae:{name}:{seq}", timeout_in_ms=timeout_s * 1000)
+    else:  # non-coordination-service backends: best effort
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

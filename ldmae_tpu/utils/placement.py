@@ -41,8 +41,12 @@ def place_pytree(
 ) -> Any:
     """Return `tree` with every array leaf committed to `device`.
 
-    device defaults to jax.devices()[0] (the default backend's first
-    device). It may also be a (fully-replicated) `jax.sharding.Sharding` —
+    device defaults to jax.local_devices()[0] — the first device THIS
+    PROCESS can address. (`jax.devices()[0]` would be wrong under
+    multi-process: on every rank but 0 it names another process's device,
+    and jit refuses to close over arrays spanning non-addressable devices
+    — each rank owns its replica, the reference's DDP model.) It may also
+    be a (fully-replicated) `jax.sharding.Sharding` —
     e.g. ``NamedSharding(mesh, P())`` — to commit every leaf replicated
     over a mesh's devices in the same one-buffer-per-dtype transfer (the
     multi-device analogue: an un-committed bundle re-uploads per call there
@@ -52,7 +56,7 @@ def place_pytree(
     matching what jit would do.
     """
     if device is None:
-        device = jax.devices()[0]
+        device = jax.local_devices()[0]
     is_sharding = isinstance(device, Sharding)
     if is_sharding and not device.is_fully_replicated:
         raise ValueError(

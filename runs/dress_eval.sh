@@ -20,7 +20,9 @@ n=$(ls "$sdir" | grep -c '\.png$')
 echo "sample dir: $sdir ($n pngs)" >> $log
 
 echo "=== [1] save_npz full set $(date) ===" >> $log
-/usr/bin/time -v timeout 3600 python -m ldmae_tpu.eval.save_npz \
+# peak-RSS reported by save_npz itself (resource.getrusage); /usr/bin/time
+# is not installed in this image
+timeout 3600 python -m ldmae_tpu.eval.save_npz \
   --sample_dir "$sdir" --num "$n" --out output/dress_r05/samples_${n}.npz >> $log 2>&1
 
 echo "=== [2] even/odd split $(date) ===" >> $log

@@ -28,6 +28,29 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _communicate_all(procs, timeout=420):
+    """communicate() EVERY rank before asserting, and show every rank's
+    stderr on failure: when one rank dies, the coordination service kills
+    the others with a generic "Shutdown barrier has failed" — asserting
+    rank-by-rank surfaces that cascade instead of the real traceback in
+    the rank that died first."""
+    results = []
+    for p in procs:
+        try:
+            results.append(p.communicate(timeout=timeout))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+    if any(p.returncode != 0 for p in procs):
+        report = "\n".join(
+            f"--- rank {r} rc={p.returncode} ---\n{err[-4000:]}\n{out[-2000:]}"
+            for r, (p, (out, err)) in enumerate(zip(procs, results))
+        )
+        raise AssertionError(f"multi-process run failed:\n{report}")
+    return [out for out, _ in results]
+
+
 @pytest.fixture(scope="module")
 def latent_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("mp_latents")
@@ -71,16 +94,7 @@ def test_two_process_rendezvous_psum_and_sharding(latent_dir):
                 text=True,
             )
         )
-    outs = []
-    for rank, p in enumerate(procs):
-        try:
-            out, err = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, f"rank {rank} failed:\n{err[-4000:]}"
-        outs.append(out)
+    outs = _communicate_all(procs)
 
     results = {}
     for out in outs:
@@ -232,14 +246,7 @@ def test_two_process_vmae_cli(image_folder, tmp_path):
                 text=True,
             )
         )
-    for rank, p in enumerate(procs):
-        try:
-            _, err = p.communicate(timeout=540)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, f"rank {rank} failed:\n{err[-4000:]}"
+    _communicate_all(procs, timeout=540)
     import json
 
     rec = json.loads((out / "log.txt").read_text().strip().splitlines()[-1])
@@ -306,14 +313,7 @@ def test_two_process_extraction_driver(image_cfg):
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
         )
-    for rank, p in enumerate(procs):
-        try:
-            out, err = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, f"rank {rank} failed:\n{err[-4000:]}\n{out[-2000:]}"
+    _communicate_all(procs)
 
     import glob
 
@@ -353,17 +353,7 @@ def _spawn_two(argv, extra_env=None, timeout=420):
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
         )
-    outs = []
-    for rank, p in enumerate(procs):
-        try:
-            o, err = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, f"rank {rank} failed:\n{err[-4000:]}\n{o[-2000:]}"
-        outs.append(o)
-    return outs
+    return _communicate_all(procs, timeout=timeout)
 
 
 def _read_latents(shards):
@@ -516,16 +506,7 @@ def test_two_process_evaluate_tokenizer(image_cfg, tmp_path_factory):
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
         )
-    outs = []
-    for rank, p in enumerate(procs):
-        try:
-            o, err = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, f"rank {rank} failed:\n{err[-4000:]}\n{o[-2000:]}"
-        outs.append(o)
+    outs = _communicate_all(procs)
 
     # rank 0 reports, rank 1 does not
     assert "Final Metrics" in outs[0] and "rfid" in outs[0]
