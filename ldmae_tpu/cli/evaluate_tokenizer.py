@@ -42,20 +42,39 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     # or the SD-VAE here, evaluate_tokenizer.py:57-95). Param init/loading
     # runs on the local CPU backend (PERF.md "Driver startup" — each small
     # eager op is a remote compile on the axon backend), then commits once.
-    import contextlib
+    from ..utils.placement import cpu_prep_context
 
-    try:
-        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
-    except RuntimeError:
-        prep_ctx = contextlib.nullcontext()
-    with prep_ctx:
+    with cpu_prep_context():
         tok = build_tokenizer_fns(
             config.vae.model_name, config.vae.weight_path, config.data.image_size
         )
         lpips_params = load_lpips_params()
+    # local multi-chip: shard the batch over a dp mesh of THIS PROCESS's
+    # devices; XLA propagates the sharding through the whole roundtrip
+    # (same trick as cli.inference). The mesh must be local — each rank
+    # computes its own shard of the dataset independently (the reference's
+    # DDP model), and device_put of process-local data under a sharding
+    # spanning other hosts' devices would be wrong (parallel/mesh.py:56-63).
+    batch_sharding = None
+    params_dest = None
+    if jax.local_device_count() > 1 and batch % jax.local_device_count() == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import create_mesh
+
+        mesh = create_mesh(dp=-1, devices=jax.local_devices())
+        batch_sharding = NamedSharding(
+            mesh, P(("dp", "fsdp"), None, None, None)
+        )
+        # params must be committed replicated over the SAME mesh — a
+        # dev0-committed tree would be re-laid-out (a second full upload)
+        # when jit traces the mesh-sharded roundtrip below
+        params_dest = NamedSharding(mesh, P())
     from ..utils.placement import place_pytree
 
-    placed = place_pytree({"tok": tok.params, "lpips": lpips_params})
+    placed = place_pytree(
+        {"tok": tok.params, "lpips": lpips_params}, device=params_dest
+    )
     params, lpips_params = placed["tok"], placed["lpips"]
 
     # latent std for the robustness perturbation: the reference loads
@@ -98,23 +117,6 @@ def evaluate_tokenizer(config, data_path, output_path, epsilon=0.0, seed=42, bat
     n_total = n_global // world + (1 if rank < n_global % world else 0)
     print(f"evaluating tokenizer on {n_global} images "
           f"({n_total} on rank {rank}, epsilon={epsilon})")
-
-    # local multi-chip: shard the batch over a dp mesh of THIS PROCESS's
-    # devices; XLA propagates the sharding through the whole roundtrip
-    # (same trick as cli.inference). The mesh must be local — each rank
-    # computes its own shard of the dataset independently (the reference's
-    # DDP model), and device_put of process-local data under a sharding
-    # spanning other hosts' devices would be wrong (parallel/mesh.py:56-63).
-    batch_sharding = None
-    if jax.local_device_count() > 1 and batch % jax.local_device_count() == 0:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..parallel import create_mesh
-
-        mesh = create_mesh(dp=-1, devices=jax.local_devices())
-        batch_sharding = NamedSharding(
-            mesh, P(("dp", "fsdp"), None, None, None)
-        )
 
     lpips_vals, ssim_vals, psnr_vals = [], [], []
     idx = 0

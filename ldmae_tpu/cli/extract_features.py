@@ -61,13 +61,9 @@ def main():
     # "Driver startup"): param init is hundreds of small eager ops, each its
     # own remote compile on the axon backend — on a degraded compile
     # service this alone exceeded the 25-min job timeout (round 5).
-    import contextlib
+    from ..utils.placement import cpu_prep_context
 
-    try:
-        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
-    except RuntimeError:
-        prep_ctx = contextlib.nullcontext()
-    with prep_ctx:
+    with cpu_prep_context():
         tok = build_tokenizer_fns(
             config.vae.model_name, config.vae.weight_path, config.data.image_size
         )

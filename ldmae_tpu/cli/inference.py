@@ -79,19 +79,15 @@ def build_pipeline(config, ckpt_path=None, dit_params=None, demo=False):
 
     demo=True reproduces the reference's demo_sample_mode overrides
     (inference.py:54-57, 239): cfg_interval off, timestep_shift 0."""
-    import contextlib
-
     # All the param prep inside (init, checkpoint load, layout permutations,
     # quantization) is many small ops — on a remote-compiled TPU backend
     # each would be its own sub-second remote compile (minutes of wall
     # clock on a slow compile service). Run them on the local CPU backend;
     # the sampling loop commits the bundle to the accelerator via
     # place_pytree (a host-committed bundle re-uploads on every call).
-    try:
-        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
-    except RuntimeError:
-        prep_ctx = contextlib.nullcontext()
-    with prep_ctx:
+    from ..utils.placement import cpu_prep_context
+
+    with cpu_prep_context():
         return _build_pipeline(config, ckpt_path, dit_params, demo)
 
 
@@ -214,6 +210,46 @@ def do_sample(config, demo: bool = False, out_root: str = None, demo_out: str = 
         if len(have) >= fid_num:
             print(f"{out_dir} already has {len(have)} >= {fid_num} pngs, skipping")
             return out_dir
+
+    # Stream-identity manifest: the batch-level resume is byte-identical
+    # ONLY if the batch grid, world size and seed are unchanged across
+    # legs (the folder name pins model/solver/cfg/shift, but not these).
+    # A mismatched resume would silently mix two label streams — fail fast
+    # instead. Written on the first leg; delete it to override knowingly.
+    if not demo:
+        import json
+
+        manifest_path = os.path.join(out_dir, "resume_manifest.json")
+        stream_id = {
+            "per_proc_batch_size": int(s.per_proc_batch_size),
+            "world": int(jax.process_count()),
+            "global_seed": int(config.train.global_seed),
+            "num_classes": int(config.data.num_classes),
+        }
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                recorded = json.load(f)
+            diff = {
+                k: (recorded.get(k), v)
+                for k, v in stream_id.items()
+                if recorded.get(k) != v
+            }
+            if diff:
+                raise SystemExit(
+                    f"resume settings mismatch in {out_dir}: "
+                    + ", ".join(
+                        f"{k} was {a}, now {b}" for k, (a, b) in diff.items()
+                    )
+                    + f" — existing pngs were sampled from a different "
+                    f"label stream; delete {manifest_path} (and the pngs) "
+                    f"to restart, or rerun with the recorded settings"
+                )
+        elif jax.process_index() == 0:
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(stream_id, f)
+            os.replace(tmp, manifest_path)
 
     sample_fn, bundle, spec = build_pipeline(config, demo=demo)
     sample_jit = jax.jit(sample_fn)

@@ -111,13 +111,9 @@ def main():
     # TPU backend each becomes its own remote compile (minutes of startup).
     # Prep on the local CPU backend; shard_params below does the one
     # host->device placement.
-    import contextlib
+    from ..utils.placement import cpu_prep_context
 
-    try:
-        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
-    except RuntimeError:
-        prep_ctx = contextlib.nullcontext()
-    with prep_ctx:
+    with cpu_prep_context():
         spec, consts, params, transport, tx, step_fn = build_from_config(config, key)
 
         # warm start from a torch checkpoint (train_accum.py:95-103,

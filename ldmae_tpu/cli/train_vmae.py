@@ -141,12 +141,9 @@ def main(args):
     # param init/import/merge is many small ops; on a remote-compiled TPU
     # backend each becomes its own remote compile (minutes of startup) —
     # prep on the local CPU backend, then place once via shard_params
-    import contextlib
+    from ..utils.placement import cpu_prep_context
 
-    try:
-        _prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
-    except RuntimeError:
-        _prep_ctx = contextlib.nullcontext()
+    _prep_ctx = cpu_prep_context()
 
     def _prep_params(spec):
         gradual = None

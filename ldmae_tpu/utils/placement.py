@@ -33,7 +33,26 @@ import numpy as np
 from jax import lax
 from jax.sharding import Sharding
 
-__all__ = ["place_pytree"]
+__all__ = ["cpu_prep_context", "place_pytree"]
+
+
+def cpu_prep_context():
+    """Context manager pinning eager ops to the local CPU backend.
+
+    Driver param init/loading is hundreds of small eager ops; on the
+    remote axon backend each is its own remote compile (PERF.md "Driver
+    startup" — on a degraded compile service this alone exceeded a 25-min
+    job timeout). Every driver builds its params under this context and
+    then commits the finished tree once via `place_pytree`. Falls back to
+    a no-op when no CPU backend is available (e.g. JAX_PLATFORMS=cpu
+    already, or a CPU-less build where default_device would fail).
+    """
+    import contextlib
+
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
 
 
 def place_pytree(

@@ -54,8 +54,20 @@ def main():
     # usage: perf_batch_sweep.py [steps] [w8|w8a8] [batches...]
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 250
     rest = sys.argv[2:]
-    quant = rest[0] if rest and not rest[0].isdigit() else None
-    batches = [int(b) for b in rest if b.isdigit()] or [36, 40, 48, 64]
+    quant = None
+    if rest and not rest[0].isdigit():
+        quant = rest.pop(0)
+        if quant not in ("w8", "w8a8"):
+            raise SystemExit(f"unknown quant mode {quant!r} (want w8|w8a8)")
+    bad = [b for b in rest if not b.isdigit()]
+    if bad:
+        # a mode after a batch would otherwise be silently dropped and the
+        # sweep would run (and get labeled) bf16
+        raise SystemExit(
+            f"non-numeric batch args {bad} — the quant mode must come "
+            "before the batch list: perf_batch_sweep.py [steps] [w8|w8a8] [batches...]"
+        )
+    batches = [int(b) for b in rest] or [36, 40, 48, 64]
     results = {}
     for b in batches:
         r = measure(b, steps, quant=quant)

@@ -34,13 +34,9 @@ def build(batch, num_steps, quant_mode):
     # param prep = hundreds of small eager ops; on the remote-compiled axon
     # backend each is a remote compile — build on the local CPU backend
     # (PERF.md "Driver startup"), then commit once via place_pytree
-    import contextlib
+    from ldmae_tpu.utils.placement import cpu_prep_context
 
-    try:
-        prep_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
-    except RuntimeError:
-        prep_ctx = contextlib.nullcontext()
-    with prep_ctx:
+    with cpu_prep_context():
         fn, bundle = _build(batch, num_steps, quant_mode)
     # Commit the bundle to the accelerator once — host-committed params
     # re-upload on every call through the tunnel (PERF.md round 4)

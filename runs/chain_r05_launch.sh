@@ -31,7 +31,11 @@ if ! ls output/dress_r05/latents/*.safetensors >/dev/null 2>&1; then
       echo "=== extraction complete $(date) ===" >> $log
       break
     fi
-    rm -f output/dress_r05/latents/*.safetensors
+    # wipe the stats cache too: a timeout-truncated or leftover
+    # latents_stats.pt would be LOADED (not recomputed) by the retry and
+    # silently mis-normalize every latent downstream
+    rm -f output/dress_r05/latents/*.safetensors \
+          output/dress_r05/latents/latents_stats.pt
   done
 fi
 ls output/dress_r05/latents/*.safetensors >/dev/null 2>&1 || { echo "extraction failed 3x $(date)" >> $log; exit 1; }

@@ -262,10 +262,11 @@ class TestInferenceResume:
         p.write_text(yaml.safe_dump(cfg))
         config = LDMAEConfig.from_yaml(str(p))
 
-        # fresh full run: 3 batches of 4
+        # fresh full run: 3 batches of 4 (+ the stream-identity manifest)
         dir_a = do_sample(config, out_root=str(tmp_path / "A"))
-        names = sorted(os.listdir(dir_a))
+        names = sorted(f for f in os.listdir(dir_a) if f.endswith(".png"))
         assert names == [f"{i:06d}.png" for i in range(12)]
+        assert os.path.exists(os.path.join(dir_a, "resume_manifest.json"))
 
         # resumed run: batches 0-1 already on disk, batch 2 partially
         # (a partial batch must be REgenerated — its files may predate a
@@ -282,6 +283,53 @@ class TestInferenceResume:
             b = open(os.path.join(dir_b, f"{i:06d}.png"), "rb").read()
             assert a == b, f"image {i} differs between fresh and resumed runs"
         assert not [f for f in os.listdir(dir_b) if f.endswith(".tmp")]
+
+    def test_mismatched_resume_settings_fail_fast(self, tmp_path):
+        """Resuming with a different per_proc_batch_size (or seed/world)
+        changes the label stream: already-on-disk batches would keep the
+        old stream while new ones draw from another — the manifest written
+        on leg 1 must make leg 2 fail fast instead of mixing streams."""
+        import yaml
+
+        from ldmae_tpu.cli.inference import do_sample
+        from ldmae_tpu.core.config import LDMAEConfig
+
+        cfg = {
+            "data": {
+                "data_path": str(tmp_path / "nolatents"),
+                "image_size": 64,
+                "num_classes": 16,
+                "latent_norm": True,
+                "sample": True,
+            },
+            "vae": {"model_name": "vmae_f8d16", "downsample_ratio": 8, "weight_path": ""},
+            "model": {"model_type": "LightningDiT-debug", "in_chans": 16,
+                      "use_qknorm": True, "use_swiglu": True, "use_rope": True,
+                      "use_rmsnorm": True},
+            "train": {"output_dir": str(tmp_path / "out"), "exp_name": "resume"},
+            "sample": {"num_sampling_steps": 2, "cfg_scale": 4.0,
+                       "per_proc_batch_size": 4, "fid_num": 8},
+        }
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        config = LDMAEConfig.from_yaml(str(p))
+        dir_a = do_sample(config, out_root=str(tmp_path / "A"))
+        assert os.path.exists(os.path.join(dir_a, "resume_manifest.json"))
+
+        # raising fid_num alone is fine (the per-batch stream is index-keyed)
+        cfg["sample"]["fid_num"] = 12
+        p.write_text(yaml.safe_dump(cfg))
+        do_sample(LDMAEConfig.from_yaml(str(p)), out_root=str(tmp_path / "A"))
+
+        # a changed batch grid must fail fast, naming the offending knob
+        # (fid_num raised too — a dir that already has enough pngs is a
+        # no-op skip before the manifest check, which is fine: no new
+        # images means no stream mixing)
+        cfg["sample"]["per_proc_batch_size"] = 6
+        cfg["sample"]["fid_num"] = 18
+        p.write_text(yaml.safe_dump(cfg))
+        with pytest.raises(SystemExit, match="per_proc_batch_size"):
+            do_sample(LDMAEConfig.from_yaml(str(p)), out_root=str(tmp_path / "A"))
 
 
 class TestTrainDiTCLI:

@@ -165,7 +165,6 @@ def test_sampling_program_lowers_at_prod_shape(model, quant):
         + ", ".join(f"{n} ({b / 1e6:.0f} MB)" for n, b in replicated_big)
     )
 
-    sample_fn = _build_sample_fn(spec, vspec, quant)
     rep = NamedSharding(mesh, P())
 
     def _sds(tree, sh_tree=None):
@@ -186,9 +185,8 @@ def test_sampling_program_lowers_at_prod_shape(model, quant):
     y = jax.ShapeDtypeStruct(
         (PROD_BATCH,), jnp.int32, sharding=NamedSharding(mesh, P(("dp", "fsdp")))
     )
-    lowered = jax.jit(_build_sample_fn(spec, vspec, quant)).lower(
-        bundle, jax.random.key(0), y
-    )
+    sample_fn = _build_sample_fn(spec, vspec, quant)
+    lowered = jax.jit(sample_fn).lower(bundle, jax.random.key(0), y)
     hlo = lowered.as_text()
     assert "sharding" in hlo  # GSPMD annotations made it into the program
     del sample_fn, lowered, hlo
