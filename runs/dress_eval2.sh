@@ -30,6 +30,10 @@ sdir=${sdir%/}
 n=$(ls "$sdir" | grep -c '\.png$')
 echo "sample dir: $sdir ($n pngs)" >> $log
 
+echo "=== [0] set integrity check $(date) ===" >> $log
+timeout 1800 python runs/verify_png_set.py "$sdir" >> $log 2>&1
+echo "=== [0] done rc=$? $(date) ===" >> $log
+
 echo "=== [1] save_npz full set $(date) ===" >> $log
 timeout 3600 python -m ldmae_tpu.eval.save_npz \
   --sample_dir "$sdir" --num "$n" --out output/dress_r05/samples_${n}.npz >> $log 2>&1
