@@ -29,7 +29,25 @@ assert dense, "index range has holes — save_npz would mis-stack"
 assert not tmps, f"stray tmp files: {tmps[:5]}"
 
 rng = np.random.default_rng(0)
-check = sorted(set(rng.integers(0, n, size=min(sample_n, n)).tolist()) | {0, n - 1})
+check = set(rng.integers(0, n, size=min(sample_n, n)).tolist()) | {0, n - 1}
+
+# every resume boundary (the likeliest corruption points): the run log
+# prints "<K> resumed" on each batch line after a relaunch.
+log = os.path.join(os.path.dirname(__file__), "dress_r05.log")
+if os.path.exists(log):
+    import re
+
+    bounds = set()
+    with open(log) as f:
+        for line in f:
+            m = re.search(r"(\d+) resumed", line)
+            if m:
+                bounds.add(int(m.group(1)))
+    bounds.discard(0)
+    for b in sorted(bounds):
+        check.update(i for i in range(b - 3, b + 3) if 0 <= i < n)
+    print(f"resume boundaries from log: {sorted(bounds)}")
+check = sorted(check)
 bad = []
 shape = None
 for i in check:
