@@ -197,7 +197,15 @@ class TestInferenceCLI:
         }
         p = tmp_path / "cfg.yaml"
         p.write_text(yaml.safe_dump(cfg))
-        env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        # private compilation cache per subprocess: the CLI defaults to the
+        # shared repo-relative .jax_cache, and cache contention between the
+        # two sequential inference runs is the suspected cause of a rare
+        # (1-in-6, unreproducible) returncode flake here (ADVICE r4).
+        env = dict(
+            ENV,
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_COMPILATION_CACHE_DIR=str(tmp_path / "jax_cache_a"),
+        )
         r = subprocess.run(
             [sys.executable, "-m", "ldmae_tpu.cli.inference", "--config", str(p),
              "--skip_fid", "--tp", "2"],
@@ -218,11 +226,12 @@ class TestInferenceCLI:
         c = yaml.safe_load((tmp_path / "cfg.yaml").read_text())
         c["train"]["output_dir"] = str(out2)
         (tmp_path / "cfg_q.yaml").write_text(yaml.safe_dump(c))
+        env_q = dict(env, JAX_COMPILATION_CACHE_DIR=str(tmp_path / "jax_cache_b"))
         r = subprocess.run(
             [sys.executable, "-m", "ldmae_tpu.cli.inference", "--config",
              str(tmp_path / "cfg_q.yaml"), "--skip_fid", "--tp", "2",
              "--quant", "w8a8"],
-            env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+            env=env_q, cwd=REPO, capture_output=True, text=True, timeout=900,
         )
         assert r.returncode == 0, r.stderr[-3000:]
         pngs = glob.glob(str(out2 / "**" / "*.png"), recursive=True)
