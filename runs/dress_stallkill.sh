@@ -10,7 +10,7 @@
 # (checkpoint load + compile measured ~6 min on relaunch).
 cd /root/repo
 log=runs/dress_stallkill_r05.log
-STALL_S=900
+STALL_S=600
 GRACE_S=1080
 echo "=== stall-killer start $(date) ===" >> $log
 last_pid=""
