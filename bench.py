@@ -43,7 +43,71 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 A100_BASELINE_IMGS_PER_SEC = 0.40  # analytic estimate, see module docstring
 
 
+def _preempt_dress_run():
+    """Stop a live dress-rehearsal sampling client before timing.
+
+    The round-5 dress rehearsal (runs/dress_watchdog.sh) can hold the single
+    chip for hours; a bench run sharing the device would record a depressed,
+    contention-tainted number. If a dress client is alive (exact recorded
+    PID in /tmp/dress_inference.pid — never pattern-matched), expire the
+    watchdog's deadline file so it (and the stall-killer/monitor loops)
+    exits instead of relaunching, then TERM the recorded wrapper (GNU
+    timeout forwards to the python child) and escalate to KILL on the exact
+    child PID if it wedges. Costs at most the in-flight batch; batch-level
+    resume keeps the sample set consistent. Opt out with
+    LDMAE_BENCH_PREEMPT_DRESS=0 (e.g. the prelude, which benches before the
+    dress run starts).
+    """
+    if os.environ.get("LDMAE_BENCH_PREEMPT_DRESS", "1") == "0":
+        return
+    pid_file = os.environ.get("LDMAE_DRESS_PID_FILE", "/tmp/dress_inference.pid")
+    try:
+        with open(pid_file) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)  # raises if not alive
+    except (OSError, ValueError):
+        return
+    deadline_file = os.environ.get(
+        "LDMAE_DRESS_DEADLINE_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "runs", "dress_deadline"),
+    )
+    try:
+        with open(deadline_file, "w") as f:
+            f.write(str(int(time.time()) - 61))
+    except OSError:
+        pass
+    children = []
+    try:
+        import glob as _glob
+        for cf in _glob.glob(f"/proc/{pid}/task/*/children"):
+            with open(cf) as f:
+                children += [int(c) for c in f.read().split()]
+    except (OSError, ValueError):
+        pass
+    print(f"# preempting live dress-rehearsal client pid={pid} "
+          f"children={children} (deadline expired)", file=sys.stderr)
+    try:
+        os.kill(pid, 15)
+    except OSError:
+        return
+    for _ in range(30):
+        time.sleep(1)
+        try:
+            os.kill(pid, 0)
+        except OSError:
+            break
+    else:
+        for c in children + [pid]:
+            try:
+                os.kill(c, 9)
+            except OSError:
+                pass
+    time.sleep(5)  # let the runtime release the device
+
+
 def main(batch: int = 36, iters: int = 3, num_steps: int = 250):
+    _preempt_dress_run()
     # param prep = hundreds of small eager ops; on the remote-compiled axon
     # backend each can be its own remote compile (they sit below the
     # persistent-cache threshold) — BUILD on the local CPU backend like the
